@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding logic is tested on a virtual device mesh (the real
+environment has a single TPU chip); setting the XLA flags BEFORE jax is
+imported is what makes that work.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
