@@ -105,6 +105,7 @@ def _cond_sub_p(r: jnp.ndarray, overflow: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ge[..., None], d, r)
 
 
+@jax.jit
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p over 16-bit limb arrays.
 
@@ -134,6 +135,7 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p(r, overflow)
 
 
+@jax.jit
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Field addition (encoding-agnostic: works in Montgomery form too)."""
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
@@ -141,6 +143,7 @@ def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _cond_sub_p(s, carry)
 
 
+@jax.jit
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Field subtraction."""
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
@@ -161,11 +164,13 @@ def mont_zero(shape=()) -> jnp.ndarray:
     return jnp.zeros(tuple(shape) + (NLIMBS,), dtype=_U32)
 
 
+@jax.jit
 def to_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Canonical limbs -> Montgomery form (multiply by R^2, reduce)."""
     return mont_mul(a, jnp.broadcast_to(_constant(R2_LIMBS), a.shape))
 
 
+@jax.jit
 def from_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical limbs (multiply by 1, reduce)."""
     one = jnp.zeros_like(a).at[..., 0].set(1)
@@ -177,6 +182,7 @@ def _pow_bits(exponent: int) -> np.ndarray:
     return np.array(bits, dtype=np.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=("exponent",))
 def mont_pow(x: jnp.ndarray, exponent: int) -> jnp.ndarray:
     """x^exponent for a static integer exponent (square-and-multiply scan).
 

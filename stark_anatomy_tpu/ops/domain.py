@@ -1,0 +1,94 @@
+"""Evaluation-domain tables: root-of-unity powers, bit-reversal, coset data.
+
+All heavy tables are built ON DEVICE from a single host-computed root
+(via :func:`power_table`, a log-N doubling construction), so creating the
+tables for N = 2^20 costs ~20 vectorized multiplies instead of millions of
+host big-int operations.  Tables are cached per (N, ...) key.
+
+Reference context: the recursive NTT recomputes root powers on the fly
+(/root/reference/code/ntt.py:3-30); here they are precomputed constants,
+which is what a TPU wants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import ops as F
+from ..field.limbs import NLIMBS, int_to_limbs, R
+from ..field.scalar import P, Field
+
+
+def _mont_const(value: int) -> jnp.ndarray:
+    """Host int -> device (NLIMBS,) Montgomery-form constant."""
+    return jnp.asarray(np.array(int_to_limbs(value % P * R % P), dtype=np.uint32))
+
+
+def power_table(base: int, n: int) -> jnp.ndarray:
+    """Device table [base^0, base^1, ..., base^(n-1)] in Montgomery form.
+
+    Built by doubling: each of the log2(n) steps appends
+    powers[2^k + i] = powers[2^k] * powers[i], a single vectorized multiply.
+    """
+    assert n & (n - 1) == 0 and n >= 1
+    table = F.mont_one((1,))
+    b = _mont_const(base)
+    step = b[None, :]
+    size = 1
+    while size < n:
+        chunk = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
+        table = jnp.concatenate([table, chunk], axis=0)
+        # step for next doubling: base^(2*size) = (base^size)^2
+        step = F.mont_mul(step, step)
+        size *= 2
+    return table
+
+
+def bit_reversal_permutation(n: int) -> np.ndarray:
+    """Index array mapping natural order -> bit-reversed order."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+class DomainCache:
+    """Per-process cache of NTT domain tables keyed by domain size."""
+
+    def __init__(self):
+        self._cache: Dict[int, dict] = {}
+        self._field = Field.main()
+
+    def get(self, n: int) -> dict:
+        if n not in self._cache:
+            omega = self._field.primitive_nth_root(n).value
+            omega_inv = pow(omega, P - 2, P)
+            self._cache[n] = {
+                "omega": omega,
+                "omega_inv": omega_inv,
+                "fwd_powers": power_table(omega, n),
+                "inv_powers": power_table(omega_inv, n),
+                "bitrev": jnp.asarray(bit_reversal_permutation(n)),
+                "n_inv": _mont_const(pow(n, P - 2, P)),
+            }
+        return self._cache[n]
+
+
+DOMAINS = DomainCache()
+
+
+@functools.lru_cache(maxsize=64)
+def coset_power_tables(offset: int, n: int):
+    """(offset^i, offset^-i) device tables for i < n, Montgomery form."""
+    offset_inv = pow(offset, P - 2, P)
+    return power_table(offset, n), power_table(offset_inv, n)
+
+
+def mont_const(value: int) -> jnp.ndarray:
+    return _mont_const(value)

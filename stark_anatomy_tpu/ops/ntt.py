@@ -1,0 +1,215 @@
+"""Device NTT kernels: the throughput core of the prover.
+
+Iterative radix-2 decimation-in-time over (..., N, NLIMBS) Montgomery limb
+arrays: one bit-reversal gather followed by log2(N) butterfly stages, each
+a reshape + one Montgomery multiply + modular add/sub.  Twiddles are strided
+views of a cached power table (ops/domain.py).
+
+Public functions are thin eager wrappers that warm the domain caches and
+then dispatch to jitted inner kernels — building tables inside a trace
+would leak tracers into the cache.
+
+Replaces the reference's recursive list NTT (/root/reference/code/ntt.py:3-30)
+and its derived kernels fast_multiply/fast_coset_evaluate/fast_coset_divide
+(ntt.py:32-176) with batched, jittable equivalents.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..field import ops as F
+from .domain import DOMAINS, coset_power_tables
+
+
+def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Butterfly stages on bit-reversed input x of shape (..., n, NLIMBS)."""
+    batch_shape = x.shape[:-2]
+    m = 1
+    while m < n:
+        # twiddles for blocks of size 2m: omega_{2m}^j = omega^{(n/2m) * j}
+        w = powers[:: n // (2 * m)][:m]                      # (m, NLIMBS)
+        x = x.reshape(batch_shape + (n // (2 * m), 2, m, -1))
+        u = x[..., 0, :, :]
+        t = F.mont_mul(x[..., 1, :, :], w)
+        x = jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
+        x = x.reshape(batch_shape + (n, -1))
+        m *= 2
+    return x
+
+
+def ntt_core(values, bitrev, powers, n_inv=None):
+    """Jittable NTT body with tables passed in explicitly."""
+    n = values.shape[-2]
+    x = jnp.take(values, bitrev, axis=-2)
+    x = _stages(x, powers, n)
+    if n_inv is not None:
+        x = F.mont_mul(x, n_inv)
+    return x
+
+
+_ntt_core_jit = jax.jit(ntt_core)
+
+
+def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Forward NTT: coefficients -> evaluations on <omega_n> (natural order).
+
+    With ``inverse=True``: evaluations -> coefficients (includes the 1/n
+    scaling, like the reference's intt, ntt.py:20-30).
+    """
+    n = values.shape[-2]
+    assert n & (n - 1) == 0, "NTT length must be a power of two"
+    if n == 1:
+        return values
+    dom = DOMAINS.get(n)
+    powers = dom["inv_powers"] if inverse else dom["fwd_powers"]
+    n_inv = dom["n_inv"] if inverse else None
+    return _ntt_core_jit(values, dom["bitrev"], powers, n_inv)
+
+
+def intt(values: jnp.ndarray) -> jnp.ndarray:
+    return ntt(values, inverse=True)
+
+
+def _pad_coeffs(coeffs: jnp.ndarray, order: int) -> jnp.ndarray:
+    n = coeffs.shape[-2]
+    assert n <= order, f"cannot fit {n} coefficients in NTT of size {order}"
+    if n == order:
+        return coeffs
+    pad = [(0, 0)] * (coeffs.ndim - 2) + [(0, order - n), (0, 0)]
+    return jnp.pad(coeffs, pad)
+
+
+def coset_scale(coeffs: jnp.ndarray, offset: int, inverse: bool = False) -> jnp.ndarray:
+    """Substitute x -> offset*x (coefficient-wise scale by offset^i)."""
+    n = coeffs.shape[-2]
+    fwd, inv_tab = coset_power_tables(offset, n)
+    return F.mont_mul(coeffs, inv_tab if inverse else fwd)
+
+
+@functools.partial(jax.jit, static_argnames=("order",))
+def _lde_core(padded, scale_tab, bitrev, powers, order):
+    return ntt_core(F.mont_mul(padded, scale_tab), bitrev, powers)
+
+
+def coset_evaluate(coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
+    """Low-degree extension: evaluate on the coset offset * <omega_order>.
+
+    Equivalent to the reference's fast_coset_evaluate (ntt.py:132-135):
+    scale by the offset then a length-``order`` NTT.
+    """
+    padded = _pad_coeffs(coeffs, order)
+    dom = DOMAINS.get(order)
+    scale_tab, _ = coset_power_tables(offset, order)
+    return _lde_core(padded, scale_tab, dom["bitrev"], dom["fwd_powers"], order)
+
+
+@jax.jit
+def _coset_interp_core(values, inv_scale_tab, bitrev, inv_powers, n_inv):
+    coeffs = ntt_core(values, bitrev, inv_powers, n_inv)
+    return F.mont_mul(coeffs, inv_scale_tab)
+
+
+def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """Inverse of coset_evaluate at the same order."""
+    n = values.shape[-2]
+    dom = DOMAINS.get(n)
+    _, inv_tab = coset_power_tables(offset, n)
+    return _coset_interp_core(values, inv_tab, dom["bitrev"], dom["inv_powers"], dom["n_inv"])
+
+
+def poly_multiply(lhs: jnp.ndarray, rhs: jnp.ndarray, out_len: Optional[int] = None) -> jnp.ndarray:
+    """Polynomial product via NTT -> Hadamard -> iNTT.
+
+    lhs/rhs are coefficient arrays (..., n?, NLIMBS); the result is returned
+    with ``out_len`` coefficients (default: len(lhs)+len(rhs)-1).
+    Device analog of the reference's fast_multiply (ntt.py:32-64).
+    """
+    la, lb = lhs.shape[-2], rhs.shape[-2]
+    if out_len is None:
+        out_len = la + lb - 1
+    order = 1
+    while order < la + lb - 1:
+        order *= 2
+    prod = intt(F.mont_mul(ntt(_pad_coeffs(lhs, order)), ntt(_pad_coeffs(rhs, order))))
+    return prod[..., :out_len, :]
+
+
+def coset_divide(
+    lhs: jnp.ndarray, rhs: jnp.ndarray, offset: int, order: int, out_len: Optional[int] = None
+) -> jnp.ndarray:
+    """Exact polynomial division via coset-domain Hadamard quotient.
+
+    The coset dodges the divisor's roots (which live in <omega>), exactly as
+    the reference's fast_coset_divide (ntt.py:137-176).  Assumes clean
+    division; a dirty quotient produces garbage coefficients that downstream
+    verification rejects (same contract as the reference).
+    """
+    lc = ntt(coset_scale(_pad_coeffs(lhs, order), offset))
+    rc = ntt(coset_scale(_pad_coeffs(rhs, order), offset))
+    q = F.mont_mul(lc, F.inv(rc))
+    coeffs = coset_scale(intt(q), offset, inverse=True)
+    if out_len is not None:
+        coeffs = coeffs[..., :out_len, :]
+    return coeffs
+
+
+@jax.jit
+def evaluate_domain_horner(coeffs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate a polynomial at arbitrary points (Horner scan over coeffs).
+
+    O(deg) sequential steps of fully vectorized work over the points axis;
+    the device fallback for non-smooth domains (the smooth-domain path is
+    ``ntt``/``coset_evaluate``).
+    """
+
+    def step(acc, c):
+        return F.add(F.mont_mul(acc, points), c), None
+
+    rev = jnp.flip(coeffs, axis=-2)
+    init = jnp.zeros_like(points)
+    acc, _ = jax.lax.scan(step, init, jnp.moveaxis(rev, -2, 0))
+    return acc
+
+
+def zerofier(points: jnp.ndarray) -> jnp.ndarray:
+    """Monic vanishing polynomial of a set of points, via a product tree.
+
+    points: (n, NLIMBS) Montgomery form.  Returns (n+1, NLIMBS) coefficients.
+    Each tree level is one batched NTT multiply over all sibling pairs, so
+    the whole construction is log2(n) batched kernels (device analog of the
+    reference's recursive fast_zerofier, ntt.py:66-80).
+    """
+    n = points.shape[0]
+    assert n >= 1
+    # Split n into power-of-two chunks, build each by a balanced tree, then
+    # multiply the (<= log n) chunk zerofiers together.
+    chunks = []
+    start = 0
+    rem = n
+    while rem:
+        size = 1 << (rem.bit_length() - 1)
+        chunks.append(_zerofier_pow2(points[start : start + size]))
+        start += size
+        rem -= size
+    acc = chunks[0]
+    for c in chunks[1:]:
+        acc = poly_multiply(acc, c)
+    return acc
+
+
+def _zerofier_pow2(points: jnp.ndarray) -> jnp.ndarray:
+    """Zerofier of 2^k points via a balanced product tree."""
+    n = points.shape[0]
+    # level 0: linear factors (x - p): coeffs [[-p, 1]] -> (n, 2, NLIMBS)
+    ones = jnp.broadcast_to(F.mont_one(), (n, 1, points.shape[-1]))
+    polys = jnp.concatenate([F.neg(points)[:, None, :], ones], axis=1)
+    while polys.shape[0] > 1:
+        d = polys.shape[1] - 1  # monic polys of degree d
+        left, right = polys[0::2], polys[1::2]
+        polys = poly_multiply(left, right, out_len=2 * d + 1)
+    return polys[0]

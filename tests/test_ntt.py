@@ -1,0 +1,142 @@
+"""NTT kernels: device vs scalar reference equivalence.
+
+Mirrors the reference's test_ntt.py property suite (ntt == evaluate_domain,
+intt inverse, fast_multiply == schoolbook, coset divide recovers factors,
+coset evaluation == naive) against the device kernels.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_anatomy_tpu.field import limbs as L
+from stark_anatomy_tpu.field import ops as F
+from stark_anatomy_tpu.field.scalar import Field, FieldElement, P
+from stark_anatomy_tpu.ops import ntt as D
+from stark_anatomy_tpu.poly.host_ntt import intt_ints, ntt_ints
+from stark_anatomy_tpu.poly.univariate import Polynomial
+
+RNG = random.Random(1234)
+FIELD = Field.main()
+
+
+def rand_ints(n):
+    return [RNG.randrange(P) for _ in range(n)]
+
+
+def dev(vals):
+    return jnp.asarray(L.ints_to_array(vals, montgomery=True))
+
+
+def back(arr):
+    return L.array_to_ints(np.asarray(arr), montgomery=True)
+
+
+def poly(vals):
+    return Polynomial.from_ints(vals, FIELD)
+
+
+def test_ntt_matches_evaluate_domain():
+    n = 32
+    omega = FIELD.primitive_nth_root(n)
+    coeffs = rand_ints(n)
+    got = back(D.ntt(dev(coeffs)))
+    domain = [omega ** i for i in range(n)]
+    want = [v.value for v in poly(coeffs).evaluate_domain(domain)]
+    assert got == want
+
+
+def test_host_ntt_matches_device():
+    n = 64
+    omega = FIELD.primitive_nth_root(n).value
+    coeffs = rand_ints(n)
+    assert ntt_ints(coeffs, omega) == back(D.ntt(dev(coeffs)))
+    evals = rand_ints(n)
+    assert intt_ints(evals, omega) == back(D.intt(dev(evals)))
+
+
+def test_intt_inverts_ntt():
+    for n in [1, 2, 8, 128]:
+        coeffs = rand_ints(n)
+        assert back(D.intt(D.ntt(dev(coeffs)))) == coeffs
+
+
+def test_batched_ntt():
+    n, b = 16, 3
+    rows = [rand_ints(n) for _ in range(b)]
+    batch = jnp.stack([dev(r) for r in rows])
+    out = D.ntt(batch)
+    for i in range(b):
+        assert back(out[i]) == back(D.ntt(dev(rows[i])))
+
+
+def test_poly_multiply_matches_schoolbook():
+    for _ in range(5):
+        la, lb = RNG.randrange(1, 20), RNG.randrange(1, 20)
+        a, b = rand_ints(la), rand_ints(lb)
+        got = back(D.poly_multiply(dev(a), dev(b)))
+        want = poly(a) * poly(b)
+        want_c = [c.value for c in want.coefficients]
+        assert got == want_c
+
+
+def test_coset_evaluate_matches_naive():
+    n, order = 8, 32
+    offset = FIELD.generator()
+    omega = FIELD.primitive_nth_root(order)
+    coeffs = rand_ints(n)
+    got = back(D.coset_evaluate(dev(coeffs), offset.value, order))
+    pts = [offset * (omega ** i) for i in range(order)]
+    want = [v.value for v in poly(coeffs).evaluate_domain(pts)]
+    assert got == want
+
+
+def test_coset_interpolate_roundtrip():
+    order = 64
+    offset = FIELD.generator()
+    coeffs = rand_ints(order)
+    lde = D.coset_evaluate(dev(coeffs), offset.value, order)
+    assert back(D.coset_interpolate(lde, offset.value)) == coeffs
+
+
+def test_coset_divide_recovers_factor():
+    for _ in range(3):
+        da, db = RNG.randrange(1, 10), RNG.randrange(1, 10)
+        a = rand_ints(da) + [1]  # monic-ish, nonzero
+        b = rand_ints(db) + [1]
+        prod = poly(a) * poly(b)
+        prod_c = [c.value for c in prod.coefficients]
+        order = 64
+        got = back(
+            D.coset_divide(
+                dev(prod_c), dev(b), FIELD.generator().value, order, out_len=len(a)
+            )
+        )
+        assert got == a
+
+
+def test_evaluate_domain_horner():
+    coeffs = rand_ints(10)
+    points = rand_ints(7)
+    got = back(D.evaluate_domain_horner(dev(coeffs), dev(points)))
+    want = [
+        poly(coeffs).evaluate(FieldElement(x, FIELD)).value for x in points
+    ]
+    assert got == want
+
+
+def test_zerofier_product_tree():
+    for n in [1, 2, 3, 7, 8, 13]:
+        pts = rand_ints(n)
+        got = back(D.zerofier(dev(pts)))
+        want = Polynomial.zerofier_domain([FieldElement(x, FIELD) for x in pts])
+        assert got == [c.value for c in want.coefficients]
+
+
+def test_power_table():
+    from stark_anatomy_tpu.ops.domain import power_table
+
+    base = RNG.randrange(P)
+    tab = back(power_table(base, 16))
+    assert tab == [pow(base, i, P) for i in range(16)]
