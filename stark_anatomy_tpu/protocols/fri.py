@@ -1,0 +1,298 @@
+"""FRI low-degree test: commit/fold on device, query/verify on host.
+
+Protocol parity with the reference (fri.py:11-231): iterated split-and-fold
+with Merkle commitments per round, Fiat-Shamir folding challenges, and
+colinearity spot checks.  TPU-native deltas:
+
+* the fold  c'[i] = 2^{-1}((1+a*u_i) c[i] + (1-a*u_i) c[N/2+i])  with
+  u_i = 1/(offset*omega^i) runs on device as one fused elementwise kernel;
+  the inverse-domain table u is PRECOMPUTED once and squared-in-place per
+  round (u_{r+1} = u_r[:half]^2), replacing the reference's O(N) per-round
+  field inversions (fri.py:85);
+* Merkle trees are cached (commit/merkle.py), so query openings are
+  O(log N) instead of the reference's O(N) re-hash per opening;
+* the verifier checks the last codeword's degree with an O(n log n) host
+  NTT (the reference used O(n^2) Lagrange, fri.py:163-174).
+
+Deliberate deviations (documented in DEVIATIONS.md): index-sampling counter
+bytes use a fixed-width encoding, and colinearity accepts degree <= 1.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..commit.merkle import MerkleTree
+from ..field import ops as F
+from ..field.scalar import Field, P
+from ..ops.domain import mont_const, power_table
+from ..poly.host_ntt import intt_ints
+from ..transcript.proof_stream import ProofStream
+from ..utils.convert import device_from_ints, ints_from_device, leaf_bytes
+
+_TWO_INV = pow(2, P - 2, P)
+
+
+@jax.jit
+def _fold_kernel(codeword, u, alpha, two_inv):
+    half = codeword.shape[0] // 2
+    a, b = codeword[:half], codeword[half:]
+    s = F.add(a, b)
+    d = F.mont_mul(F.mont_mul(alpha, u), F.sub(a, b))
+    return F.mont_mul(two_inv, F.add(s, d))
+
+
+@jax.jit
+def _square_half(u):
+    half = u.shape[0] // 2
+    return F.mont_mul(u[:half], u[:half])
+
+
+class Fri:
+    """FRI over the coset offset*<omega> of size ``initial_domain_length``."""
+
+    def __init__(
+        self,
+        offset: int,
+        omega: int,
+        initial_domain_length: int,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+    ):
+        self.offset = offset % P
+        self.omega = omega % P
+        self.domain_length = initial_domain_length
+        self.field = Field.main()
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+        self._u0 = None  # lazy inverse-domain table
+        assert self.num_rounds() >= 1, "cannot do FRI with less than one round"
+
+    # -- round structure (reference: fri.py:22-28) --------------------------
+    def num_rounds(self) -> int:
+        codeword_length = self.domain_length
+        num = 0
+        while (
+            codeword_length > self.expansion_factor
+            and 4 * self.num_colinearity_tests < codeword_length
+        ):
+            codeword_length //= 2
+            num += 1
+        return num
+
+    # -- index sampling (reference: fri.py:30-51) ---------------------------
+    @staticmethod
+    def sample_index(byte_array: bytes, size: int) -> int:
+        acc = 0
+        for b in byte_array:
+            acc = (acc << 8) ^ int(b)
+        return acc % size
+
+    def sample_indices(self, seed: bytes, size: int, reduced_size: int, number: int):
+        assert number <= reduced_size, (
+            f"cannot sample more indices than available in last codeword; "
+            f"requested: {number}, available: {reduced_size}"
+        )
+        indices: List[int] = []
+        reduced_indices: List[int] = []
+        counter = 0
+        while len(indices) < number:
+            index = Fri.sample_index(
+                blake2b(seed + counter.to_bytes(8, "big")).digest(), size
+            )
+            reduced = index % reduced_size
+            counter += 1
+            if reduced not in reduced_indices:
+                indices.append(index)
+                reduced_indices.append(reduced)
+        return indices
+
+    def eval_domain(self) -> List[int]:
+        return [
+            self.offset * pow(self.omega, i, P) % P
+            for i in range(self.domain_length)
+        ]
+
+    # -- inverse-domain table ------------------------------------------------
+    def _initial_u(self) -> jnp.ndarray:
+        if self._u0 is None:
+            half = self.domain_length // 2
+            omega_inv = pow(self.omega, P - 2, P)
+            offset_inv = pow(self.offset, P - 2, P)
+            tab = power_table(omega_inv, half)
+            self._u0 = F.mont_mul(tab, mont_const(offset_inv))
+        return self._u0
+
+    # -- prover --------------------------------------------------------------
+    def commit(self, codeword: jnp.ndarray, proof_stream: ProofStream):
+        """Fold rounds; returns (canonical int codeword layers, MerkleTrees).
+
+        Mirrors the reference's commit loop (fri.py:56-96): per round, commit
+        the current codeword, draw the challenge, fold.  The last layer is
+        committed AND sent in the clear.
+        """
+        two_inv = mont_const(_TWO_INV)
+        u = self._initial_u()
+        layers: List[List[int]] = []
+        trees: List[MerkleTree] = []
+        for r in range(self.num_rounds()):
+            ints = ints_from_device(codeword)
+            tree = MerkleTree(leaf_bytes(ints))
+            proof_stream.push(tree.root)
+            layers.append(ints)
+            trees.append(tree)
+            if r == self.num_rounds() - 1:
+                break
+            alpha = self.field.sample(proof_stream.prover_fiat_shamir()).value
+            codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
+            u = _square_half(u)
+        # send last codeword in the clear (reference: fri.py:92)
+        proof_stream.push(layers[-1])
+        return layers, trees
+
+    def query(
+        self,
+        current_ints: List[int],
+        next_ints: List[int],
+        current_tree: MerkleTree,
+        next_tree: MerkleTree,
+        c_indices: List[int],
+        proof_stream: ProofStream,
+    ):
+        half = len(current_ints) // 2
+        a_indices = list(c_indices)
+        b_indices = [i + half for i in c_indices]
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(
+                (
+                    current_ints[a_indices[s]],
+                    current_ints[b_indices[s]],
+                    next_ints[c_indices[s]],
+                )
+            )
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(current_tree.open(a_indices[s]))
+            proof_stream.push(current_tree.open(b_indices[s]))
+            proof_stream.push(next_tree.open(c_indices[s]))
+        return a_indices + b_indices
+
+    def prove(self, codeword: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
+        """codeword: device Montgomery limb array of shape (N, NLIMBS)."""
+        assert self.domain_length == codeword.shape[0], (
+            "initial codeword length does not match FRI domain length"
+        )
+        layers, trees = self.commit(codeword, proof_stream)
+
+        top_level_indices = self.sample_indices(
+            proof_stream.prover_fiat_shamir(),
+            len(layers[0]) // 2,
+            len(layers[-1]),
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+        for i in range(len(layers) - 1):
+            indices = [idx % (len(layers[i]) // 2) for idx in indices]
+            self.query(
+                layers[i],
+                layers[i + 1],
+                trees[i],
+                trees[i + 1],
+                indices,
+                proof_stream,
+            )
+        return top_level_indices
+
+    # -- verifier (host scalar) ----------------------------------------------
+    def verify(
+        self, proof_stream: ProofStream, polynomial_values: List[Tuple[int, int]]
+    ) -> bool:
+        omega = self.omega
+        offset = self.offset
+
+        roots: List[bytes] = []
+        alphas: List[int] = []
+        for _ in range(self.num_rounds()):
+            roots.append(proof_stream.pull())
+            alphas.append(
+                self.field.sample(proof_stream.verifier_fiat_shamir()).value
+            )
+
+        last_codeword: List[int] = proof_stream.pull()
+        if roots[-1] != MerkleTree(leaf_bytes(last_codeword)).root:
+            return False
+
+        degree = (len(last_codeword) // self.expansion_factor) - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(self.num_rounds() - 1):
+            last_omega = last_omega * last_omega % P
+            last_offset = last_offset * last_offset % P
+        assert pow(last_omega, len(last_codeword), P) == 1, (
+            "omega does not have right order"
+        )
+
+        # Low-degree check of the last codeword via host NTT (the reference
+        # used O(n^2) Lagrange here, fri.py:163-174; docs/faster.md:450-461
+        # prescribes the NTT).  The codeword holds q(omega^i) for
+        # q(x) = poly(offset*x); coset scaling does not change which
+        # coefficients are zero, so checking q's degree suffices.
+        coeffs = intt_ints(last_codeword, last_omega)
+        if any(c != 0 for c in coeffs[degree + 1 :]):
+            return False
+
+        top_level_indices = self.sample_indices(
+            proof_stream.verifier_fiat_shamir(),
+            self.domain_length >> 1,
+            self.domain_length >> (self.num_rounds() - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(self.num_rounds() - 1):
+            c_indices = [i % (self.domain_length >> (r + 1)) for i in top_level_indices]
+            a_indices = list(c_indices)
+            b_indices = [i + (self.domain_length >> (r + 1)) for i in c_indices]
+
+            aa, bb, cc = [], [], []
+            for s in range(self.num_colinearity_tests):
+                ay, by, cy = proof_stream.pull()
+                aa.append(ay)
+                bb.append(by)
+                cc.append(cy)
+                if r == 0:
+                    polynomial_values.append((a_indices[s], ay))
+                    polynomial_values.append((b_indices[s], by))
+                # colinearity: (by-ay)*(cx-ax) == (cy-ay)*(bx-ax)
+                ax = offset * pow(omega, a_indices[s], P) % P
+                bx = offset * pow(omega, b_indices[s], P) % P
+                cx = alphas[r]
+                lhs = (by - ay) * (cx - ax) % P
+                rhs = (cy - ay) * (bx - ax) % P
+                if lhs != rhs:
+                    return False
+
+            for i in range(self.num_colinearity_tests):
+                from ..commit.hashing import hash_leaf
+
+                path = proof_stream.pull()
+                if not MerkleTree.verify_path(
+                    roots[r], a_indices[i], path, hash_leaf(str(aa[i]).encode())
+                ):
+                    return False
+                path = proof_stream.pull()
+                if not MerkleTree.verify_path(
+                    roots[r], b_indices[i], path, hash_leaf(str(bb[i]).encode())
+                ):
+                    return False
+                path = proof_stream.pull()
+                if not MerkleTree.verify_path(
+                    roots[r + 1], c_indices[i], path, hash_leaf(str(cc[i]).encode())
+                ):
+                    return False
+
+            omega = omega * omega % P
+            offset = offset * offset % P
+
+        return True

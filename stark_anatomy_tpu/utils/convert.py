@@ -1,0 +1,47 @@
+"""Fast host<->device conversion of field-element arrays.
+
+The host boundary is where Montgomery-form limb arrays become canonical
+Python ints (for hashing / transcripts) and back.  Conversions are
+vectorized with numpy object arithmetic rather than per-element loops.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..field import ops as F
+from ..field.limbs import LIMB_BITS, NLIMBS, R, int_to_limbs
+from ..field.scalar import P
+
+
+def device_from_ints(values: Sequence[int]):
+    """Canonical ints -> device Montgomery limb array (n, NLIMBS)."""
+    import jax.numpy as jnp
+
+    if len(values) == 0:
+        return jnp.zeros((0, NLIMBS), dtype=jnp.uint32)
+    vals = np.array([v % P * R % P for v in values], dtype=object)
+    out = np.empty((len(values), NLIMBS), dtype=np.uint32)
+    rem = vals
+    for k in range(NLIMBS):
+        out[:, k] = (rem & 0xFFFF).astype(np.uint64).astype(np.uint32)
+        rem = rem >> LIMB_BITS
+    return jnp.asarray(out)
+
+
+def ints_from_device(arr) -> List[int]:
+    """Device Montgomery limb array (..., NLIMBS) -> canonical Python ints."""
+    canon = np.asarray(F.from_mont(arr))
+    flat = canon.reshape(-1, NLIMBS)
+    acc = flat[:, NLIMBS - 1].astype(object)
+    for k in range(NLIMBS - 2, -1, -1):
+        acc = (acc << LIMB_BITS) | flat[:, k].astype(object)
+    return [int(v) for v in acc]
+
+
+def leaf_bytes(values: Sequence[int]) -> List[bytes]:
+    """Consensus-critical Merkle leaf encoding: decimal strings
+    (reference: algebra.py:56-57, merkle.py:13-14)."""
+    return [str(v).encode() for v in values]

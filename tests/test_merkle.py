@@ -1,0 +1,72 @@
+"""Merkle commitment tests (parity with reference test_merkle.py:1-47:
+positive opening + negative families: wrong leaf, wrong index, false root,
+corrupted path, different tree)."""
+
+import random
+
+from stark_anatomy_tpu.commit.hashing import hash_leaf
+from stark_anatomy_tpu.commit.merkle import Merkle, MerkleTree
+
+RNG = random.Random(7)
+
+
+def random_leaves(n):
+    return [bytes(RNG.randrange(256) for _ in range(RNG.randrange(1, 33))) for _ in range(n)]
+
+
+def test_positive_openings():
+    n = 64
+    leaves = random_leaves(n)
+    tree = MerkleTree(leaves)
+    for index in [0, 1, n // 2, n - 1, RNG.randrange(n)]:
+        path = tree.open(index)
+        assert len(path) == 6
+        assert MerkleTree.verify_path(tree.root, index, path, hash_leaf(leaves[index]))
+
+
+def test_negative_families():
+    n = 64
+    leaves = random_leaves(n)
+    tree = MerkleTree(leaves)
+    index = RNG.randrange(n)
+    path = tree.open(index)
+
+    # wrong leaf
+    wrong = bytes([leaves[index][0] ^ 1]) + leaves[index][1:]
+    assert not MerkleTree.verify_path(tree.root, index, path, hash_leaf(wrong))
+
+    # wrong index
+    for j in range(n):
+        if j != index:
+            assert not MerkleTree.verify_path(tree.root, j, path, hash_leaf(leaves[index]))
+
+    # false root
+    fake_root = bytes(64)
+    assert not MerkleTree.verify_path(fake_root, index, path, hash_leaf(leaves[index]))
+
+    # corrupted path element
+    for k in range(len(path)):
+        bad = list(path)
+        bad[k] = bytes([bad[k][0] ^ 1]) + bad[k][1:]
+        assert not MerkleTree.verify_path(tree.root, index, bad, hash_leaf(leaves[index]))
+
+    # path from a different tree
+    other = MerkleTree(random_leaves(n))
+    assert not MerkleTree.verify_path(
+        tree.root, index, other.open(index), hash_leaf(leaves[index])
+    )
+
+
+def test_stateless_api_matches_cached_tree():
+    data = [str(RNG.randrange(10**30)).encode() for _ in range(16)]
+    tree = MerkleTree(data)
+    assert Merkle.commit(data) == tree.root
+    assert Merkle.open(5, data) == tree.open(5)
+    assert Merkle.verify(tree.root, 5, tree.open(5), data[5])
+
+
+def test_cached_tree_structure():
+    leaves = random_leaves(8)
+    tree = MerkleTree(leaves)
+    assert len(tree.levels) == 4
+    assert [len(l) for l in tree.levels] == [8, 4, 2, 1]
