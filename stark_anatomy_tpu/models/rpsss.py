@@ -1,0 +1,109 @@
+"""RPSSS: Rescue-Prime STARK Signature Scheme (slow and fast variants).
+
+A post-quantum signature: sk is a random field element, pk = RescuePrime
+hash(sk); a signature is a zk-STARK proof of preimage knowledge under a
+document-bound Fiat-Shamir transcript.  Parity with the reference
+(rpsss.py:24-64, fast_rpsss.py:24-65): expansion 4, 64 colinearity checks,
+security 128, AIR degree 3.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+from ..field.scalar import Field, FieldElement
+from ..protocols.fast_stark import FastStark
+from ..protocols.stark import Stark
+from ..transcript.proof_stream import SignatureProofStream
+from .rescue_prime import RescuePrime
+
+
+class RPSSS:
+    """Signature scheme over the slow scalar STARK (reference: rpsss.py:24-64)."""
+
+    stark_class = Stark
+
+    def __init__(self):
+        self.field = Field.main()
+        expansion_factor = 4
+        num_colinearity_checks = 64
+        security_level = 2 * num_colinearity_checks
+
+        self.rp = RescuePrime()
+        self.stark = self.stark_class(
+            self.field,
+            expansion_factor,
+            num_colinearity_checks,
+            security_level,
+            self.rp.m,
+            self.rp.N + 1,
+            transition_constraints_degree=3,
+        )
+
+    def _air(self):
+        return self.rp.transition_constraints(self.stark.omicron)
+
+    def stark_prove(self, input_element: FieldElement, proof_stream) -> bytes:
+        output_element = self.rp.hash(input_element)
+        trace = self.rp.trace(input_element)
+        return self.stark.prove(
+            trace, self._air(), self.rp.boundary_constraints(output_element), proof_stream
+        )
+
+    def stark_verify(self, output_element, stark_proof, document) -> bool:
+        boundary = self.rp.boundary_constraints(output_element)
+        return self.stark.verify(
+            stark_proof,
+            self._air(),
+            boundary,
+            proof_stream_factory=lambda proof: SignatureProofStream.deserialize_with_document(
+                proof, document
+            ),
+        )
+
+    def keygen(self) -> Tuple[FieldElement, FieldElement]:
+        sk = self.field.sample(os.urandom(17))
+        pk = self.rp.hash(sk)
+        return sk, pk
+
+    def sign(self, sk: FieldElement, document: bytes) -> bytes:
+        sps = SignatureProofStream(document)
+        return self.stark_prove(sk, sps)
+
+    def verify(self, pk: FieldElement, document: bytes, signature: bytes) -> bool:
+        return self.stark_verify(pk, signature, document)
+
+
+class FastRPSSS(RPSSS):
+    """Signature scheme over the device-accelerated FastStark
+    (reference: fast_rpsss.py:24-65)."""
+
+    stark_class = FastStark
+
+    def __init__(self):
+        super().__init__()
+        self.transition_zerofier = self.stark.preprocess()
+
+    def stark_prove(self, input_element: FieldElement, proof_stream) -> bytes:
+        output_element = self.rp.hash(input_element)
+        trace = self.rp.trace(input_element)
+        return self.stark.prove(
+            trace,
+            self._air(),
+            self.rp.boundary_constraints(output_element),
+            self.transition_zerofier,
+            proof_stream,
+        )
+
+    def stark_verify(self, output_element, stark_proof, document) -> bool:
+        boundary = self.rp.boundary_constraints(output_element)
+        return self.stark.verify(
+            stark_proof,
+            self._air(),
+            boundary,
+            self.transition_zerofier.root,
+            proof_stream_factory=lambda proof: SignatureProofStream.deserialize_with_document(
+                proof, document
+            ),
+        )

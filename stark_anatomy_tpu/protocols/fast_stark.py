@@ -1,0 +1,480 @@
+"""FastStark: the device-accelerated STARK prover (the flagship pipeline).
+
+Protocol parity with the reference's FastStark (fast_stark.py:8-286) —
+same transcript structure (boundary-quotient roots, randomizer root,
+Fiat-Shamir weights, FRI, quadrupled-index openings incl. the preprocessed
+transition-zerofier section) — but the prover is redesigned TPU-first
+instead of translating the reference's coefficient-space algorithms:
+
+* Trace interpolation over the length-n PREFIX of the omicron domain is
+  done with the partial-fractions identity  f = Z_n * A / (x^M - 1)  where
+  A = M * rot(intt(v / Z_n'(omega^i))):  three NTTs and two Hadamard
+  products — no remainder trees (the reference recurses through
+  fast_interpolate, ntt.py:102-130).
+* Everything downstream is evaluated POINTWISE on the FRI-domain codewords:
+  boundary quotients, AIR composition (via a direct device evaluator
+  instead of symbolic MPolynomial composition, multivariate.py:105-112),
+  transition quotients, degree-adjustment shifts (x^shift becomes a
+  pointwise power of the domain codeword) and the weighted combination.
+  No coefficient-space polynomial arithmetic appears anywhere in the hot
+  path.
+* The preprocessed transition zerofier (reference: fast_stark.py:36-40)
+  additionally caches its INVERSE codeword and its Merkle tree, so each
+  proof costs one Hadamard product instead of a division, and openings are
+  O(log N).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..commit.hashing import hash_leaf
+from ..commit.merkle import MerkleTree
+from ..field import ops as F
+from ..field.scalar import Field, FieldElement, P
+from ..ops import ntt as NTT
+from ..ops.domain import DOMAINS, mont_const, power_table
+from ..poly.multivariate import MPolynomial
+from ..poly.univariate import Polynomial
+from ..transcript.proof_stream import ProofStream
+from ..utils.convert import device_from_ints, ints_from_device, leaf_bytes
+from .stark import Boundary, StarkParams
+
+
+class TransitionZerofier:
+    """Preprocessing artifact (reference: fast_stark.py:36-40) extended with
+    the cached inverse codeword and Merkle tree."""
+
+    def __init__(self, coeffs, codeword, codeword_ints, inv_codeword, tree):
+        self.coeffs = coeffs                  # device (T, NLIMBS)
+        self.codeword = codeword              # device (N_fri, NLIMBS)
+        self.codeword_ints = codeword_ints    # List[int]
+        self.inv_codeword = inv_codeword      # device (N_fri, NLIMBS)
+        self.tree = tree                      # MerkleTree
+
+    @property
+    def root(self) -> bytes:
+        return self.tree.root
+
+
+class FastStark(StarkParams):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._interp_cache = None
+        self._bz_cache: Dict[tuple, tuple] = {}
+
+    # ------------------------------------------------------------------
+    # preprocessing
+    # ------------------------------------------------------------------
+    def preprocess(self) -> TransitionZerofier:
+        """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i)."""
+        pts = [
+            (self.omicron ** i).value
+            for i in range(self.original_trace_length - 1)
+        ]
+        coeffs = NTT.zerofier(device_from_ints(pts))
+        codeword = NTT.coset_evaluate(
+            coeffs, self.generator.value, self.fri_domain_length
+        )
+        codeword_ints = ints_from_device(codeword)
+        inv_codeword = F.inv(codeword)
+        tree = MerkleTree(leaf_bytes(codeword_ints))
+        return TransitionZerofier(coeffs, codeword, codeword_ints, inv_codeword, tree)
+
+    # ------------------------------------------------------------------
+    # cached per-instance device tables
+    # ------------------------------------------------------------------
+    def _interp_tables(self):
+        """Tables for prefix-domain interpolation + LDE (see module doc)."""
+        if self._interp_cache is not None:
+            return self._interp_cache
+        n = self.randomized_trace_length
+        M = self.omicron_domain_length
+        N = self.fri_domain_length
+        g = self.generator.value
+
+        # Z_n: zerofier of the first n omicron-domain points
+        pts = [(self.omicron ** i).value for i in range(n)]
+        zn = NTT.zerofier(device_from_ints(pts))              # (n+1, L)
+
+        # Z_n' evaluated on <omega_M>, first n entries, inverted
+        # derivative: (k+1) * z_{k+1}
+        import jax.numpy as jnp
+
+        kplus1 = np.arange(1, zn.shape[0], dtype=np.uint32)
+        k_limbs = np.zeros((len(kplus1), zn.shape[-1]), dtype=np.uint32)
+        k_limbs[:, 0] = kplus1 & 0xFFFF
+        k_limbs[:, 1] = kplus1 >> 16
+        k_mont = F.to_mont(jnp.asarray(k_limbs))
+        dz = F.mont_mul(zn[1:], k_mont)                        # (n, L)
+        dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))             # (M, L)
+        inv_dz = F.inv(dz_evals[:n])                            # (n, L)
+
+        # Z_n on the FRI coset
+        zn_fri = NTT.coset_evaluate(zn, g, N)                  # (N, L)
+
+        # 1 / ((g*omega_N^j)^M - 1): period = expansion_factor
+        zeta = pow(self.omega.value, M, P)
+        gM = pow(g, M, P)
+        vals = [
+            pow(gM * pow(zeta, j, P) % P - 1, P - 2, P)
+            for j in range(self.expansion_factor)
+        ]
+        inv_xm = device_from_ints(vals * (N // self.expansion_factor))
+
+        # FRI-domain codeword of x itself: g * omega_N^j
+        x_lde = F.mont_mul(DOMAINS.get(N)["fwd_powers"], mont_const(g))
+
+        self._interp_cache = {
+            "inv_dz": inv_dz,
+            "zn_fri": zn_fri,
+            "inv_xm": inv_xm,
+            "x_lde": x_lde,
+            "m_const": mont_const(M),
+        }
+        return self._interp_cache
+
+    def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
+        """(R, n, L) trace columns -> (R, N_fri, L) low-degree extension.
+
+        Partial-fractions interpolation fused with the LDE: the trace
+        polynomial f (degree < n) is never materialized in coefficient form.
+        """
+        t = self._interp_tables()
+        M = self.omicron_domain_length
+        N = self.fri_domain_length
+        c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
+        c = NTT._pad_coeffs(c, M)                               # zeros beyond n
+        e = NTT.intt(c)
+        a = jnp.roll(e, -1, axis=-2)                            # A = M * rot(e)
+        a = F.mont_mul(a, t["m_const"])
+        a_lde = NTT.coset_evaluate(a, self.generator.value, N)  # (R, N, L)
+        return F.mont_mul(F.mont_mul(t["zn_fri"], a_lde), t["inv_xm"])
+
+    def _boundary_tables(self, boundary: Boundary):
+        """FRI-domain codewords of the boundary zerofiers (inverted) and
+        interpolants, cached by boundary structure/values."""
+        key = tuple(sorted((c, r, v.value) for c, r, v in boundary))
+        if key in self._bz_cache:
+            return self._bz_cache[key]
+        t = self._interp_tables()
+        zerofiers = self.boundary_zerofiers(boundary)
+        interpolants = self.boundary_interpolants(boundary)
+        inv_bz = []
+        interp = []
+        for s in range(self.num_registers):
+            bz_coeffs = device_from_ints([c.value for c in zerofiers[s].coefficients])
+            bz_lde = NTT.evaluate_domain_horner(bz_coeffs, t["x_lde"])
+            inv_bz.append(F.inv(bz_lde))
+            ip_coeffs = [c.value for c in interpolants[s].coefficients]
+            if not ip_coeffs:
+                ip_coeffs = [0]
+            interp.append(
+                NTT.evaluate_domain_horner(device_from_ints(ip_coeffs), t["x_lde"])
+            )
+        out = (jnp.stack(inv_bz), jnp.stack(interp))
+        self._bz_cache[key] = out
+        return out
+
+    # ------------------------------------------------------------------
+    # prover
+    # ------------------------------------------------------------------
+    def prove(
+        self,
+        trace: List[List[FieldElement]],
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Boundary,
+        transition_zerofier: TransitionZerofier,
+        proof_stream: Optional[ProofStream] = None,
+        air_evaluator=None,
+    ) -> bytes:
+        """Generate a proof.  ``air_evaluator``, if given, is a device
+        function (x_lde, current, next_) -> (C, N, L) evaluating the
+        transition constraints pointwise; otherwise the symbolic
+        constraints are compiled generically."""
+        if proof_stream is None:
+            proof_stream = ProofStream()
+
+        R = self.num_registers
+        N = self.fri_domain_length
+        t = self._interp_tables()
+
+        # randomized trace columns on device: (R, n, L)
+        rows = [[v.value for v in row] for row in trace] + [
+            [self.field.sample(os.urandom(17)).value for _ in range(R)]
+            for _ in range(self.num_randomizers)
+        ]
+        flat = [rows[c][s] for s in range(R) for c in range(len(rows))]
+        columns = device_from_ints(flat).reshape(R, len(rows), -1)
+
+        # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
+        # so trace(omicron * x) is a roll of the codeword)
+        trace_lde = self._trace_lde(columns)                     # (R, N, L)
+        next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-2)
+
+        # boundary quotients, committed
+        inv_bz, interp = self._boundary_tables(boundary)
+        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)    # (R, N, L)
+        bq_ints: List[List[int]] = []
+        bq_trees: List[MerkleTree] = []
+        for s in range(R):
+            ints = ints_from_device(bq_lde[s])
+            tree = MerkleTree(leaf_bytes(ints))
+            bq_ints.append(ints)
+            bq_trees.append(tree)
+            proof_stream.push(tree.root)
+
+        # transition quotients: pointwise AIR / zerofier
+        if air_evaluator is None:
+            air_evaluator = compile_air(transition_constraints)
+        constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)  # (C, N, L)
+        tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
+
+        # randomizer polynomial
+        max_degree = self.max_degree(transition_constraints)
+        rand_coeffs = [
+            self.field.sample(os.urandom(17)).value for _ in range(max_degree + 1)
+        ]
+        rand_lde = NTT.coset_evaluate(
+            device_from_ints(rand_coeffs), self.generator.value, N
+        )
+        rand_ints = ints_from_device(rand_lde)
+        rand_tree = MerkleTree(leaf_bytes(rand_ints))
+        proof_stream.push(rand_tree.root)
+
+        # Fiat-Shamir weights
+        num_constraints = len(transition_constraints)
+        weights = self.sample_weights(
+            1 + 2 * num_constraints + 2 * R, proof_stream.prover_fiat_shamir()
+        )
+
+        # weighted combination, entirely pointwise: x^shift * q becomes
+        # pow(x_lde, shift) (*) q
+        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+        bq_bounds = self.boundary_quotient_degree_bounds(len(rows), boundary)
+        combo = F.mont_mul(mont_const(weights[0].value), rand_lde)
+        w = 1
+        for i in range(num_constraints):
+            term = F.mont_mul(mont_const(weights[w].value), tq_lde[i])
+            combo = F.add(combo, term)
+            w += 1
+            shift = max_degree - tq_bounds[i]
+            shifted = F.mont_mul(F.mont_pow(t["x_lde"], shift), tq_lde[i])
+            combo = F.add(combo, F.mont_mul(mont_const(weights[w].value), shifted))
+            w += 1
+        for s in range(R):
+            term = F.mont_mul(mont_const(weights[w].value), bq_lde[s])
+            combo = F.add(combo, term)
+            w += 1
+            shift = max_degree - bq_bounds[s]
+            shifted = F.mont_mul(F.mont_pow(t["x_lde"], shift), bq_lde[s])
+            combo = F.add(combo, F.mont_mul(mont_const(weights[w].value), shifted))
+            w += 1
+
+        # FRI proof over the combination codeword
+        indices = self.fri.prove(combo, proof_stream)
+
+        # linked openings at quadrupled indices (reference: fast_stark.py:154-177)
+        duplicated = indices + [
+            (i + self.expansion_factor) % N for i in indices
+        ]
+        quadrupled = sorted(duplicated + [(i + N // 2) % N for i in duplicated])
+
+        for s in range(R):
+            for i in quadrupled:
+                proof_stream.push(bq_ints[s][i])
+                proof_stream.push(bq_trees[s].open(i))
+        for i in quadrupled:
+            proof_stream.push(rand_ints[i])
+            proof_stream.push(rand_tree.open(i))
+        for i in quadrupled:
+            proof_stream.push(transition_zerofier.codeword_ints[i])
+            proof_stream.push(transition_zerofier.tree.open(i))
+
+        return proof_stream.serialize()
+
+    # ------------------------------------------------------------------
+    # verifier (host scalar; mirrors reference fast_stark.py:180-286)
+    # ------------------------------------------------------------------
+    def verify(
+        self,
+        proof: bytes,
+        transition_constraints: Sequence[MPolynomial],
+        boundary: Boundary,
+        transition_zerofier_root: bytes,
+        proof_stream_factory=None,
+    ) -> bool:
+        original_trace_length = 1 + max(c for c, r, v in boundary)
+        randomized_trace_length = original_trace_length + self.num_randomizers
+
+        if proof_stream_factory is None:
+            proof_stream = ProofStream.deserialize(proof)
+        else:
+            proof_stream = proof_stream_factory(proof)
+
+        R = self.num_registers
+        boundary_quotient_roots = [proof_stream.pull() for _ in range(R)]
+        randomizer_root = proof_stream.pull()
+
+        weights = self.sample_weights(
+            1 + 2 * len(transition_constraints) + 2 * R,
+            proof_stream.verifier_fiat_shamir(),
+        )
+
+        polynomial_values: List[Tuple[int, int]] = []
+        if not self.fri.verify(proof_stream, polynomial_values):
+            return False
+        polynomial_values.sort(key=lambda iv: iv[0])
+        indices = [i for i, v in polynomial_values]
+        values = [v for i, v in polynomial_values]
+
+        N = self.fri.domain_length
+        duplicated = sorted(
+            indices + [(i + self.expansion_factor) % N for i in indices]
+        )
+
+        leafs: List[Dict[int, int]] = []
+        for r in range(R):
+            leafs.append({})
+            for i in duplicated:
+                leafs[r][i] = proof_stream.pull()
+                path = proof_stream.pull()
+                if not MerkleTree.verify_path(
+                    boundary_quotient_roots[r],
+                    i,
+                    path,
+                    hash_leaf(str(leafs[r][i]).encode()),
+                ):
+                    return False
+
+        randomizer: Dict[int, int] = {}
+        for i in duplicated:
+            randomizer[i] = proof_stream.pull()
+            path = proof_stream.pull()
+            if not MerkleTree.verify_path(
+                randomizer_root, i, path, hash_leaf(str(randomizer[i]).encode())
+            ):
+                return False
+
+        zerofier_leafs: Dict[int, int] = {}
+        for i in duplicated:
+            zerofier_leafs[i] = proof_stream.pull()
+            path = proof_stream.pull()
+            if not MerkleTree.verify_path(
+                transition_zerofier_root,
+                i,
+                path,
+                hash_leaf(str(zerofier_leafs[i]).encode()),
+            ):
+                return False
+
+        zerofiers = self.boundary_zerofiers(boundary)
+        interpolants = self.boundary_interpolants(boundary)
+        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+        bq_bounds = self.boundary_quotient_degree_bounds(
+            randomized_trace_length, boundary
+        )
+        max_degree = self.max_degree(transition_constraints)
+
+        for i in range(len(indices)):
+            current_index = indices[i]
+            domain_current = self.generator * (self.omega ** current_index)
+            next_index = (current_index + self.expansion_factor) % N
+            domain_next = self.generator * (self.omega ** next_index)
+
+            current_trace = []
+            next_trace = []
+            for s in range(R):
+                bq_cur = FieldElement(leafs[s][current_index], self.field)
+                bq_next = FieldElement(leafs[s][next_index], self.field)
+                current_trace.append(
+                    bq_cur * zerofiers[s].evaluate(domain_current)
+                    + interpolants[s].evaluate(domain_current)
+                )
+                next_trace.append(
+                    bq_next * zerofiers[s].evaluate(domain_next)
+                    + interpolants[s].evaluate(domain_next)
+                )
+
+            point = [domain_current] + current_trace + next_trace
+            transition_values = [
+                tc.evaluate(point) for tc in transition_constraints
+            ]
+
+            terms: List[FieldElement] = [
+                FieldElement(randomizer[current_index], self.field)
+            ]
+            tz_value = FieldElement(zerofier_leafs[current_index], self.field)
+            for s in range(len(transition_values)):
+                quotient = transition_values[s] / tz_value
+                terms.append(quotient)
+                terms.append(quotient * (domain_current ** (max_degree - tq_bounds[s])))
+            for s in range(R):
+                bqv = FieldElement(leafs[s][current_index], self.field)
+                terms.append(bqv)
+                terms.append(bqv * (domain_current ** (max_degree - bq_bounds[s])))
+
+            combination = reduce(
+                lambda a, b: a + b,
+                [terms[j] * weights[j] for j in range(len(terms))],
+                self.field.zero(),
+            )
+            if combination.value != values[i]:
+                return False
+
+        return True
+
+
+# ---------------------------------------------------------------------------
+# generic pointwise AIR compiler
+# ---------------------------------------------------------------------------
+
+def compile_air(transition_constraints: Sequence[MPolynomial]):
+    """Compile symbolic AIR constraints into a pointwise device evaluator.
+
+    Returns fn(x_lde, current, next_) -> (C, N, L): for each constraint,
+    sum over dictionary terms of coeff * prod(var_i ^ e_i), with per-variable
+    power tables built by repeated multiplication.  Workloads can supply a
+    hand-written evaluator instead (see models/rescue_prime.py) — this is
+    the generic fallback, the device analog of MPolynomial.evaluate.
+    """
+
+    def evaluator(x_lde, current, next_):
+        R = current.shape[0]
+        vars_ = [x_lde] + [current[s] for s in range(R)] + [next_[s] for s in range(R)]
+        nvars = len(vars_)
+        # max exponent per variable across all constraints
+        max_exp = [0] * nvars
+        for c in transition_constraints:
+            for k in c.dictionary.keys():
+                for vi, e in enumerate(k):
+                    if vi < nvars:
+                        max_exp[vi] = max(max_exp[vi], e)
+        # power tables: powers[v][e] = vars_[v]^e
+        powers = []
+        for v in range(nvars):
+            tab = [None, vars_[v]]
+            for e in range(2, max_exp[v] + 1):
+                tab.append(F.mont_mul(tab[-1], vars_[v]))
+            powers.append(tab)
+
+        outs = []
+        for c in transition_constraints:
+            acc = None
+            for k, coeff in c.dictionary.items():
+                term = jnp.broadcast_to(mont_const(coeff.value), x_lde.shape)
+                for vi, e in enumerate(k):
+                    if e > 0 and vi < nvars:
+                        term = F.mont_mul(term, powers[vi][e])
+                acc = term if acc is None else F.add(acc, term)
+            if acc is None:
+                acc = jnp.zeros_like(x_lde)
+            outs.append(acc)
+        return jnp.stack(outs)
+
+    return evaluator

@@ -1,0 +1,90 @@
+"""FastStark integration tests (parity with reference test_fast_stark.py:
+honest prove/verify, wrong-boundary rejection, false-witness rejection at
+verification — the fast path does NOT crash, it produces a garbage quotient
+the verifier rejects) plus device-interpolation equivalence checks."""
+
+import random
+
+import jax.numpy as jnp
+
+from stark_anatomy_tpu.field.scalar import Field, FieldElement, P
+from stark_anatomy_tpu.models.rescue_prime import RescuePrime
+from stark_anatomy_tpu.protocols.fast_stark import FastStark
+from stark_anatomy_tpu.utils.convert import device_from_ints, ints_from_device
+
+RNG = random.Random(0xFADE)
+FIELD = Field.main()
+
+
+def setup_stark(checks=2):
+    rp = RescuePrime()
+    stark = FastStark(
+        FIELD, 4, checks, 2 * checks, rp.m, rp.N + 1,
+        transition_constraints_degree=3,
+    )
+    return rp, stark
+
+
+def test_trace_lde_interpolates_trace():
+    """The fused partial-fractions interpolation + LDE must agree with the
+    scalar Lagrange interpolation evaluated on the FRI domain."""
+    from stark_anatomy_tpu.poly.univariate import Polynomial
+
+    rp, stark = setup_stark()
+    n = stark.randomized_trace_length
+    vals = [RNG.randrange(P) for _ in range(n)]
+    cols = device_from_ints(vals).reshape(1, n, -1)
+    lde = stark._trace_lde(cols)
+
+    # check at a handful of FRI-domain points against scalar interpolation
+    domain = [stark.omicron ** i for i in range(n)]
+    poly = Polynomial.interpolate_domain(
+        domain, [FieldElement(v, FIELD) for v in vals]
+    )
+    got = ints_from_device(lde[0])
+    for j in [0, 1, 5, 17, len(got) - 1]:
+        x = stark.generator * (stark.omega ** j)
+        assert got[j] == poly.evaluate(x).value
+    # and it must reproduce the trace at the omicron-domain points:
+    # omicron^i = omega^(expansion*i), but those x are NOT in the coset;
+    # instead check via interpolating back through a second LDE point
+    x = stark.generator * (stark.omega ** 7)
+    assert got[7] == poly.evaluate(x).value
+
+
+def test_fast_stark_prove_verify_and_reject():
+    rp, stark = setup_stark()
+    tz = stark.preprocess()
+    input_element = FIELD.sample(b"0xdeadbeef")
+    for _ in range(2):
+        output_element = rp.hash(input_element)
+        trace = rp.trace(input_element)
+        air = rp.transition_constraints(stark.omicron)
+        boundary = rp.boundary_constraints(output_element)
+
+        proof = stark.prove(trace, air, boundary, tz)
+        assert stark.verify(proof, air, boundary, tz.root)
+
+        boundary_bad = rp.boundary_constraints(output_element + FIELD.one())
+        assert not stark.verify(proof, air, boundary_bad, tz.root)
+
+        input_element = output_element
+
+
+def test_fast_stark_false_witness_rejected():
+    rp, stark = setup_stark()
+    tz = stark.preprocess()
+    input_element = FIELD.sample(b"witness2")
+    output_element = rp.hash(input_element)
+    trace = rp.trace(input_element)
+    air = rp.transition_constraints(stark.omicron)
+    boundary = rp.boundary_constraints(output_element)
+
+    cycle = 1 + RNG.randrange(len(trace) - 1)
+    register = RNG.randrange(rp.m)
+    trace[cycle][register] = trace[cycle][register] + FieldElement(
+        RNG.randrange(1, P), FIELD
+    )
+
+    proof = stark.prove(trace, air, boundary, tz)
+    assert not stark.verify(proof, air, boundary, tz.root)
