@@ -1,0 +1,113 @@
+"""Benchmark: FastRPSSS end-to-end signing on real hardware.
+
+Prints ONE JSON line to stdout:
+  {"metric": "fast_rpsss_sign_seconds", "value": t, "unit": "s",
+   "vs_baseline": 72.0 / t}
+
+Baseline: the reference's published FastRPSSS signing time of 72 s
+(CPython, unspecified CPU — /root/reference/docs/faster.md:469).  Secondary
+metrics (verify time, proof size, NTT throughput) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    log("devices:", jax.devices())
+
+    from stark_anatomy_tpu.models.rescue_prime import make_air_evaluator
+    from stark_anatomy_tpu.models.rpsss import FastRPSSS
+
+    t0 = time.time()
+    scheme = FastRPSSS()
+    air_eval = make_air_evaluator(scheme.stark)
+    # route the fast AIR evaluator through the instance
+    orig_prove = scheme.stark.prove
+
+    def prove_fast(trace, air, boundary, tz, ps=None):
+        return orig_prove(trace, air, boundary, tz, ps, air_evaluator=air_eval)
+
+    scheme.stark.prove = prove_fast
+    log(f"setup+preprocess: {time.time()-t0:.2f}s")
+
+    sk, pk = scheme.keygen()
+    doc = b"the quick brown fox jumps over the lazy dog"
+
+    # warmup (compile)
+    t0 = time.time()
+    sig = scheme.sign(sk, doc)
+    log(f"warmup sign (incl. compile): {time.time()-t0:.2f}s; size {len(sig)/1024:.1f} kB")
+
+    t0 = time.time()
+    ok = scheme.verify(pk, doc, sig)
+    log(f"warmup verify: {time.time()-t0:.2f}s -> {ok}")
+    assert ok, "signature did not verify"
+
+    # timed runs
+    n_runs = 3
+    t0 = time.time()
+    for _ in range(n_runs):
+        sig = scheme.sign(sk, doc)
+    t_sign = (time.time() - t0) / n_runs
+
+    t0 = time.time()
+    for _ in range(n_runs):
+        ok = scheme.verify(pk, doc, sig)
+    t_verify = (time.time() - t0) / n_runs
+    assert ok
+
+    log(f"sign: {t_sign:.3f}s  verify: {t_verify:.3f}s  size: {len(sig)/1024:.1f} kB")
+    log(f"(reference baselines: sign 72 s, verify 8 s, ~160 kB)")
+
+    # secondary: NTT throughput at N=2^20
+    try:
+        import jax.numpy as jnp
+
+        from stark_anatomy_tpu.ops import ntt as NTT
+
+        n = 1 << 20
+        x = jnp.zeros((n, 8), dtype=jnp.uint32).at[:, 0].set(1)
+        NTT.ntt(x).block_until_ready()  # compile
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            y = NTT.ntt(x)
+        y.block_until_ready()
+        dt = (time.time() - t0) / reps
+        # ~N/2*log2(N) butterfly multiplies + adds/subs
+        field_ops = n // 2 * 20 * 3
+        log(f"NTT 2^20: {dt*1000:.1f} ms -> {field_ops/dt/1e9:.2f} Gfield-ops/s")
+    except Exception as e:
+        log("NTT bench failed:", e)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fast_rpsss_sign_seconds",
+                "value": round(t_sign, 4),
+                "unit": "s",
+                "vs_baseline": round(72.0 / t_sign, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

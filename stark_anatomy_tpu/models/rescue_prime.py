@@ -209,3 +209,87 @@ def trace_batch(inputs: jnp.ndarray) -> jnp.ndarray:
     # states: (N, B, m, NLIMBS) -> (B, N, m, NLIMBS); prepend initial state
     states = jnp.moveaxis(states, 0, -3)
     return jnp.concatenate([state[..., None, :, :], states], axis=-3)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written pointwise AIR evaluator (the fast prover's hot path)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _rescue_air_kernel(trace_lde, next_lde, c1_lde, c2_lde, mds, mds_inv):
+    """Pointwise Rescue AIR on LDE codewords.
+
+    constraint_i = [ sum_k MDS[i][k] * prev_k^3 + C1_i(x) ]
+                 - [ sum_k MDSinv[i][k] * (next_k - C2_k(x)) ]^3
+
+    ~20 Montgomery multiplies per point, versus the hundreds of sparse
+    dictionary terms the generic symbolic evaluator expands to
+    (reference arithmetization: rescue_prime.py:239-267).
+    trace_lde/next_lde: (m, N, L); c1_lde/c2_lde: (m, N, L).
+    """
+    outs = []
+    prev3 = F.mont_mul(F.mont_mul(trace_lde, trace_lde), trace_lde)
+    inner = F.sub(next_lde, c2_lde)  # (..., m, N, L)
+    for i in range(M):
+        lhs = F.mont_mul(prev3[..., 0, :, :], mds[i, 0])
+        for k in range(1, M):
+            lhs = F.add(lhs, F.mont_mul(prev3[..., k, :, :], mds[i, k]))
+        lhs = F.add(lhs, c1_lde[..., i, :, :])
+        rhs = F.mont_mul(inner[..., 0, :, :], mds_inv[i, 0])
+        for k in range(1, M):
+            rhs = F.add(rhs, F.mont_mul(inner[..., k, :, :], mds_inv[i, k]))
+        rhs = F.mont_mul(F.mont_mul(rhs, rhs), rhs)
+        outs.append(F.sub(lhs, rhs))
+    return jnp.stack(outs, axis=-3)
+
+
+def make_air_evaluator(stark):
+    """Build a device AIR evaluator bound to a (Fast)Stark instance.
+
+    Caches the round-constant interpolant codewords C1_i(x), C2_i(x) on the
+    FRI domain (proof-independent), so each proof pays only the ~20-multiply
+    kernel above.  Pass as ``air_evaluator=`` to FastStark.prove.
+    """
+    import numpy as np
+
+    from ..field.limbs import NLIMBS, R as MONT_R, int_to_limbs
+    from ..ops.ntt import evaluate_domain_horner
+    from ..utils.convert import device_from_ints
+
+    rp = RescuePrime()
+    omicron = stark.omicron
+    domain = [omicron ** r for r in range(rp.N)]
+    x_lde = stark._interp_tables()["x_lde"]
+
+    c1, c2 = [], []
+    for i in range(rp.m):
+        vals1 = [rp.round_constants[2 * r * rp.m + i] for r in range(rp.N)]
+        vals2 = [rp.round_constants[2 * r * rp.m + rp.m + i] for r in range(rp.N)]
+        p1 = Polynomial.interpolate_domain(domain, vals1)
+        p2 = Polynomial.interpolate_domain(domain, vals2)
+        c1.append(
+            evaluate_domain_horner(
+                device_from_ints([c.value for c in p1.coefficients]), x_lde
+            )
+        )
+        c2.append(
+            evaluate_domain_horner(
+                device_from_ints([c.value for c in p2.coefficients]), x_lde
+            )
+        )
+    c1_lde = jnp.stack(c1)
+    c2_lde = jnp.stack(c2)
+
+    mds_np = np.zeros((M, M, NLIMBS), dtype=np.uint32)
+    mdsi_np = np.zeros((M, M, NLIMBS), dtype=np.uint32)
+    for i in range(M):
+        for j in range(M):
+            mds_np[i, j] = int_to_limbs(MDS[i][j] * MONT_R % P)
+            mdsi_np[i, j] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
+    mds = jnp.asarray(mds_np)
+    mds_inv = jnp.asarray(mdsi_np)
+
+    def evaluator(x_lde_arg, current, next_):
+        return _rescue_air_kernel(current, next_, c1_lde, c2_lde, mds, mds_inv)
+
+    return evaluator
