@@ -1,52 +1,69 @@
-"""Cached binary Merkle trees over blake2b.
+"""Cached binary Merkle trees over blake2b, with native batch hashing.
 
 Same commitment scheme as the reference (merkle.py:3-44): power-of-two leaf
-count, 64-byte blake2b digests, leaf digest = blake2b(bytes(obj)).  Unlike
-the reference — which recursively re-hashes the whole tree for every
-``open`` (merkle.py:16-24), an O(N) cost per query — :class:`MerkleTree`
-builds all levels once and serves O(log N) openings from the cache.
+count, 64-byte blake2b digests, leaf digest = blake2b(bytes(obj)) where
+bytes() of a field element is its decimal string (algebra.py:56-57).
 
-The static ``Merkle.commit/open/verify`` wrappers preserve the reference's
-stateless API for parity and tests.
+Unlike the reference — which recursively re-hashes the whole tree for every
+``open`` (merkle.py:16-24), an O(N) cost per query — :class:`MerkleTree`
+materializes all levels once (as numpy digest arrays, hashed in C++ via
+stark_anatomy_tpu.native when built) and serves O(log N) openings.
+
+``MerkleTree.from_limbs`` commits a canonical limb array straight from the
+device without ever creating Python big-ints: the C++ side decimal-encodes
+and hashes each row.
 """
 
 from __future__ import annotations
 
 from typing import List, Sequence
 
-from .hashing import hash_leaves, hash_level, hash_pair
+import numpy as np
+
+from ..native import blake2b_batch as NB
+from .hashing import hash_leaf, hash_pair
 
 
 class MerkleTree:
     """A fully materialized Merkle tree.
 
-    levels[0] is the leaf-digest layer; levels[-1] is [root].
+    levels[0] is the leaf-digest layer ((n, 64) uint8); levels[-1] is (1, 64).
     """
 
     __slots__ = ("levels",)
 
-    def __init__(self, leaf_encodings: Sequence[bytes]):
-        n = len(leaf_encodings)
-        assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
-        level = hash_leaves(list(leaf_encodings))
-        self.levels: List[List[bytes]] = [level]
-        while len(level) > 1:
-            level = hash_level(level)
+    def __init__(self, leaf_encodings: Sequence[bytes] = None, _digests: np.ndarray = None):
+        if _digests is None:
+            n = len(leaf_encodings)
+            assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
+            _digests = NB.hash_encodings(list(leaf_encodings))
+        self.levels: List[np.ndarray] = [_digests]
+        level = _digests
+        while level.shape[0] > 1:
+            level = NB.merkle_level(level)
             self.levels.append(level)
+
+    @classmethod
+    def from_limbs(cls, canonical_limbs: np.ndarray) -> "MerkleTree":
+        """Commit to a codeword given as a canonical (n, NLIMBS) uint32 limb
+        array (e.g. np.asarray(F.from_mont(codeword)))."""
+        n = canonical_limbs.shape[0]
+        assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
+        return cls(_digests=NB.leaves_from_limbs(np.asarray(canonical_limbs)))
 
     @property
     def root(self) -> bytes:
-        return self.levels[-1][0]
+        return self.levels[-1][0].tobytes()
 
     def __len__(self) -> int:
-        return len(self.levels[0])
+        return self.levels[0].shape[0]
 
     def open(self, index: int) -> List[bytes]:
         """Authentication path (sibling digests, leaf level first)."""
         assert 0 <= index < len(self), "cannot open invalid index"
         path = []
         for level in self.levels[:-1]:
-            path.append(level[index ^ 1])
+            path.append(level[index ^ 1].tobytes())
             index >>= 1
         return path
 
@@ -76,6 +93,4 @@ class Merkle:
 
     @staticmethod
     def verify(root: bytes, index: int, path: List[bytes], data_element) -> bool:
-        from .hashing import hash_leaf
-
         return MerkleTree.verify_path(root, index, path, hash_leaf(bytes(data_element)))

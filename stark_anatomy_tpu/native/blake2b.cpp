@@ -1,0 +1,204 @@
+// Batched blake2b-512 hashing for Merkle commitments.
+//
+// The reference hashes every Merkle leaf and node one at a time through
+// Python hashlib (merkle.py:6-27).  Committing a 2^20-entry codeword that
+// way costs millions of interpreter round-trips; this extension does the
+// whole batch in C++ (optionally OpenMP-parallel), including the
+// consensus-critical leaf encoding: the decimal-string form of the
+// canonical field element (algebra.py:56-57 semantics).
+//
+// Implements blake2b per RFC 7693 (unkeyed, 64-byte digests, single-depth
+// parameter block) — bit-identical to hashlib.blake2b(data).digest().
+//
+// Build: make -C stark_anatomy_tpu/native
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+namespace {
+
+constexpr uint64_t IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+constexpr uint8_t SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+inline uint64_t rotr64(uint64_t x, int n) { return (x >> n) | (x << (64 - n)); }
+
+struct Blake2bState {
+  uint64_t h[8];
+  uint8_t buf[128];
+  size_t buflen;
+  uint64_t t;  // total bytes (128-bit counter's low word; fine for our sizes)
+
+  void init() {
+    memcpy(h, IV, sizeof(h));
+    h[0] ^= 0x01010040ULL;  // digest_length=64, key=0, fanout=1, depth=1
+    buflen = 0;
+    t = 0;
+  }
+
+  void compress(const uint8_t *block, bool last) {
+    uint64_t m[16];
+    for (int i = 0; i < 16; i++) {
+      uint64_t w;
+      memcpy(&w, block + 8 * i, 8);  // little-endian host assumed (x86/ARM)
+      m[i] = w;
+    }
+    uint64_t v[16];
+    memcpy(v, h, sizeof(h));
+    memcpy(v + 8, IV, sizeof(IV));
+    v[12] ^= t;
+    // v[13] ^= t_hi (always 0 here)
+    if (last) v[14] = ~v[14];
+
+#define G(a, b, c, d, x, y)                         \
+  v[a] = v[a] + v[b] + (x);                         \
+  v[d] = rotr64(v[d] ^ v[a], 32);                   \
+  v[c] = v[c] + v[d];                               \
+  v[b] = rotr64(v[b] ^ v[c], 24);                   \
+  v[a] = v[a] + v[b] + (y);                         \
+  v[d] = rotr64(v[d] ^ v[a], 16);                   \
+  v[c] = v[c] + v[d];                               \
+  v[b] = rotr64(v[b] ^ v[c], 63);
+
+    for (int r = 0; r < 12; r++) {
+      const uint8_t *s = SIGMA[r];
+      G(0, 4, 8, 12, m[s[0]], m[s[1]]);
+      G(1, 5, 9, 13, m[s[2]], m[s[3]]);
+      G(2, 6, 10, 14, m[s[4]], m[s[5]]);
+      G(3, 7, 11, 15, m[s[6]], m[s[7]]);
+      G(0, 5, 10, 15, m[s[8]], m[s[9]]);
+      G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+      G(2, 7, 8, 13, m[s[12]], m[s[13]]);
+      G(3, 4, 9, 14, m[s[14]], m[s[15]]);
+    }
+#undef G
+    for (int i = 0; i < 8; i++) h[i] ^= v[i] ^ v[i + 8];
+  }
+
+  void update(const uint8_t *data, size_t len) {
+    while (len > 0) {
+      if (buflen == 128) {
+        t += 128;
+        compress(buf, false);
+        buflen = 0;
+      }
+      size_t take = 128 - buflen;
+      if (take > len) take = len;
+      memcpy(buf + buflen, data, take);
+      buflen += take;
+      data += take;
+      len -= take;
+    }
+  }
+
+  void final(uint8_t *out) {
+    t += buflen;
+    memset(buf + buflen, 0, 128 - buflen);
+    compress(buf, true);
+    memcpy(out, h, 64);  // little-endian words
+  }
+};
+
+void hash_one(const uint8_t *data, size_t len, uint8_t *out) {
+  Blake2bState s;
+  s.init();
+  s.update(data, len);
+  s.final(out);
+}
+
+// canonical 8x16-bit-limb (stored as uint32) -> decimal string; returns length
+int limbs_to_decimal(const uint32_t *limbs, char *out) {
+  // value = sum limbs[k] << 16k ; convert via repeated division by 10^9
+  uint32_t words[4];  // little-endian 32-bit words
+  for (int k = 0; k < 4; k++)
+    words[k] = (limbs[2 * k] & 0xffffu) | ((limbs[2 * k + 1] & 0xffffu) << 16);
+  char tmp[48];
+  int pos = 0;
+  bool zero;
+  do {
+    // divide words by 10^9, collecting remainder
+    uint64_t rem = 0;
+    zero = true;
+    for (int k = 3; k >= 0; k--) {
+      uint64_t cur = (rem << 32) | words[k];
+      words[k] = (uint32_t)(cur / 1000000000ULL);
+      if (words[k]) zero = false;
+      rem = cur % 1000000000ULL;
+    }
+    if (zero) {
+      // most significant chunk: no left padding
+      do {
+        tmp[pos++] = '0' + (int)(rem % 10);
+        rem /= 10;
+      } while (rem);
+    } else {
+      for (int i = 0; i < 9; i++) {
+        tmp[pos++] = '0' + (int)(rem % 10);
+        rem /= 10;
+      }
+    }
+  } while (!zero);
+  // reverse into out
+  for (int i = 0; i < pos; i++) out[i] = tmp[pos - 1 - i];
+  return pos;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Hash n variable-length messages; offsets has n+1 entries into data.
+void stark_hash_batch(const uint8_t *data, const uint64_t *offsets, uint64_t n,
+                      uint8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (uint64_t i = 0; i < n; i++) {
+    hash_one(data + offsets[i], offsets[i + 1] - offsets[i], out + 64 * i);
+  }
+}
+
+// One Merkle level: n digests (64B each, n even) -> n/2 parent digests.
+void stark_merkle_level(const uint8_t *digests, uint64_t n, uint8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (uint64_t i = 0; i < n / 2; i++) {
+    hash_one(digests + 128 * i, 128, out + 64 * i);
+  }
+}
+
+// Leaf digests straight from a canonical limb array (n rows x 8 uint32
+// limbs): decimal-encode each field element and blake2b it.
+void stark_leaves_from_limbs(const uint32_t *limbs, uint64_t n, uint8_t *out) {
+#pragma omp parallel for schedule(static)
+  for (uint64_t i = 0; i < n; i++) {
+    char dec[48];
+    int len = limbs_to_decimal(limbs + 8 * i, dec);
+    hash_one((const uint8_t *)dec, (size_t)len, out + 64 * i);
+  }
+}
+
+// Decimal-encode a batch of canonical limb rows; out rows are 40 bytes,
+// left-padded with spaces?  No: fixed stride, length written to lens.
+void stark_limbs_to_decimal(const uint32_t *limbs, uint64_t n, char *out,
+                            uint64_t stride, uint32_t *lens) {
+#pragma omp parallel for schedule(static)
+  for (uint64_t i = 0; i < n; i++) {
+    lens[i] = (uint32_t)limbs_to_decimal(limbs + 8 * i, out + stride * i);
+  }
+}
+
+}  // extern "C"

@@ -60,3 +60,21 @@ def intt_ints(values: List[int], omega: int) -> List[int]:
     n_inv = pow(n, P - 2, P)
     out = ntt_ints(values, omega_inv)
     return [v * n_inv % P for v in out]
+
+
+def host_zerofier(points: List[int]) -> List[int]:
+    """Coefficients of the monic polynomial vanishing on ``points``.
+
+    Plain-int O(n^2) accumulation — for small domains this beats shipping a
+    product tree of many distinct shapes to the device (each shape is a
+    fresh XLA compile); the device tree (ops/ntt.py:zerofier) takes over for
+    large domains.
+    """
+    coeffs = [1]
+    for pt in points:
+        nxt = [0] * (len(coeffs) + 1)
+        for i, c in enumerate(coeffs):
+            nxt[i + 1] = (nxt[i + 1] + c) % P
+            nxt[i] = (nxt[i] - c * pt) % P
+        coeffs = nxt
+    return coeffs

@@ -50,10 +50,10 @@ class TransitionZerofier:
     """Preprocessing artifact (reference: fast_stark.py:36-40) extended with
     the cached inverse codeword and Merkle tree."""
 
-    def __init__(self, coeffs, codeword, codeword_ints, inv_codeword, tree):
+    def __init__(self, coeffs, codeword, codeword_np, inv_codeword, tree):
         self.coeffs = coeffs                  # device (T, NLIMBS)
-        self.codeword = codeword              # device (N_fri, NLIMBS)
-        self.codeword_ints = codeword_ints    # List[int]
+        self.codeword = codeword              # device (N_fri, NLIMBS) Montgomery
+        self.codeword_np = codeword_np        # canonical numpy (N_fri, NLIMBS)
         self.inv_codeword = inv_codeword      # device (N_fri, NLIMBS)
         self.tree = tree                      # MerkleTree
 
@@ -73,18 +73,26 @@ class FastStark(StarkParams):
     # ------------------------------------------------------------------
     def preprocess(self) -> TransitionZerofier:
         """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i)."""
+        from ..poly.host_ntt import host_zerofier
+        from ..utils.convert import canonical_np
+
         pts = [
             (self.omicron ** i).value
             for i in range(self.original_trace_length - 1)
         ]
-        coeffs = NTT.zerofier(device_from_ints(pts))
+        if len(pts) <= 2048:
+            # small domains: host big-int accumulation avoids compiling a
+            # device product tree of many distinct shapes
+            coeffs = device_from_ints(host_zerofier(pts))
+        else:
+            coeffs = NTT.zerofier(device_from_ints(pts))
         codeword = NTT.coset_evaluate(
             coeffs, self.generator.value, self.fri_domain_length
         )
-        codeword_ints = ints_from_device(codeword)
+        codeword_np = canonical_np(codeword)
         inv_codeword = F.inv(codeword)
-        tree = MerkleTree(leaf_bytes(codeword_ints))
-        return TransitionZerofier(coeffs, codeword, codeword_ints, inv_codeword, tree)
+        tree = MerkleTree.from_limbs(codeword_np)
+        return TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
 
     # ------------------------------------------------------------------
     # cached per-instance device tables
@@ -99,8 +107,13 @@ class FastStark(StarkParams):
         g = self.generator.value
 
         # Z_n: zerofier of the first n omicron-domain points
+        from ..poly.host_ntt import host_zerofier
+
         pts = [(self.omicron ** i).value for i in range(n)]
-        zn = NTT.zerofier(device_from_ints(pts))              # (n+1, L)
+        if n <= 2048:
+            zn = device_from_ints(host_zerofier(pts))          # (n+1, L)
+        else:
+            zn = NTT.zerofier(device_from_ints(pts))           # (n+1, L)
 
         # Z_n' evaluated on <omega_M>, first n entries, inverted
         # derivative: (k+1) * z_{k+1}
@@ -220,12 +233,12 @@ class FastStark(StarkParams):
         # boundary quotients, committed
         inv_bz, interp = self._boundary_tables(boundary)
         bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)    # (R, N, L)
-        bq_ints: List[List[int]] = []
+        from ..utils.convert import canonical_np, int_from_row
+
+        bq_np = canonical_np(bq_lde)                             # (R, N, L)
         bq_trees: List[MerkleTree] = []
         for s in range(R):
-            ints = ints_from_device(bq_lde[s])
-            tree = MerkleTree(leaf_bytes(ints))
-            bq_ints.append(ints)
+            tree = MerkleTree.from_limbs(bq_np[s])
             bq_trees.append(tree)
             proof_stream.push(tree.root)
 
@@ -243,8 +256,8 @@ class FastStark(StarkParams):
         rand_lde = NTT.coset_evaluate(
             device_from_ints(rand_coeffs), self.generator.value, N
         )
-        rand_ints = ints_from_device(rand_lde)
-        rand_tree = MerkleTree(leaf_bytes(rand_ints))
+        rand_np = canonical_np(rand_lde)
+        rand_tree = MerkleTree.from_limbs(rand_np)
         proof_stream.push(rand_tree.root)
 
         # Fiat-Shamir weights
@@ -287,13 +300,13 @@ class FastStark(StarkParams):
 
         for s in range(R):
             for i in quadrupled:
-                proof_stream.push(bq_ints[s][i])
+                proof_stream.push(int_from_row(bq_np[s][i]))
                 proof_stream.push(bq_trees[s].open(i))
         for i in quadrupled:
-            proof_stream.push(rand_ints[i])
+            proof_stream.push(int_from_row(rand_np[i]))
             proof_stream.push(rand_tree.open(i))
         for i in quadrupled:
-            proof_stream.push(transition_zerofier.codeword_ints[i])
+            proof_stream.push(int_from_row(transition_zerofier.codeword_np[i]))
             proof_stream.push(transition_zerofier.tree.open(i))
 
         return proof_stream.serialize()

@@ -129,21 +129,26 @@ class Fri:
 
     # -- prover --------------------------------------------------------------
     def commit(self, codeword: jnp.ndarray, proof_stream: ProofStream):
-        """Fold rounds; returns (canonical int codeword layers, MerkleTrees).
+        """Fold rounds; returns (canonical numpy codeword layers, MerkleTrees).
 
         Mirrors the reference's commit loop (fri.py:56-96): per round, commit
         the current codeword, draw the challenge, fold.  The last layer is
-        committed AND sent in the clear.
+        committed AND sent in the clear.  Codewords never become Python
+        big-ints in bulk: trees are built straight from the canonical limb
+        arrays (native decimal-encode + hash), and only queried leaves are
+        converted.
         """
+        from ..utils.convert import canonical_np, int_from_row
+
         two_inv = mont_const(_TWO_INV)
         u = self._initial_u()
-        layers: List[List[int]] = []
+        layers = []  # canonical (n, NLIMBS) numpy arrays
         trees: List[MerkleTree] = []
         for r in range(self.num_rounds()):
-            ints = ints_from_device(codeword)
-            tree = MerkleTree(leaf_bytes(ints))
+            canon = canonical_np(codeword)
+            tree = MerkleTree.from_limbs(canon)
             proof_stream.push(tree.root)
-            layers.append(ints)
+            layers.append(canon)
             trees.append(tree)
             if r == self.num_rounds() - 1:
                 break
@@ -151,27 +156,29 @@ class Fri:
             codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
             u = _square_half(u)
         # send last codeword in the clear (reference: fri.py:92)
-        proof_stream.push(layers[-1])
+        proof_stream.push([int_from_row(row) for row in layers[-1]])
         return layers, trees
 
     def query(
         self,
-        current_ints: List[int],
-        next_ints: List[int],
+        current_layer,
+        next_layer,
         current_tree: MerkleTree,
         next_tree: MerkleTree,
         c_indices: List[int],
         proof_stream: ProofStream,
     ):
-        half = len(current_ints) // 2
+        from ..utils.convert import int_from_row
+
+        half = current_layer.shape[0] // 2
         a_indices = list(c_indices)
         b_indices = [i + half for i in c_indices]
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 (
-                    current_ints[a_indices[s]],
-                    current_ints[b_indices[s]],
-                    next_ints[c_indices[s]],
+                    int_from_row(current_layer[a_indices[s]]),
+                    int_from_row(current_layer[b_indices[s]]),
+                    int_from_row(next_layer[c_indices[s]]),
                 )
             )
         for s in range(self.num_colinearity_tests):
@@ -189,13 +196,13 @@ class Fri:
 
         top_level_indices = self.sample_indices(
             proof_stream.prover_fiat_shamir(),
-            len(layers[0]) // 2,
-            len(layers[-1]),
+            layers[0].shape[0] // 2,
+            layers[-1].shape[0],
             self.num_colinearity_tests,
         )
         indices = list(top_level_indices)
         for i in range(len(layers) - 1):
-            indices = [idx % (len(layers[i]) // 2) for idx in indices]
+            indices = [idx % (layers[i].shape[0] // 2) for idx in indices]
             self.query(
                 layers[i],
                 layers[i + 1],

@@ -45,3 +45,16 @@ def leaf_bytes(values: Sequence[int]) -> List[bytes]:
     """Consensus-critical Merkle leaf encoding: decimal strings
     (reference: algebra.py:56-57, merkle.py:13-14)."""
     return [str(v).encode() for v in values]
+
+
+def canonical_np(arr) -> np.ndarray:
+    """Montgomery device array -> canonical numpy limb array (host)."""
+    return np.asarray(F.from_mont(arr))
+
+
+def int_from_row(row: np.ndarray) -> int:
+    """One canonical limb row -> Python int."""
+    acc = 0
+    for k in range(NLIMBS - 1, -1, -1):
+        acc = (acc << LIMB_BITS) | int(row[k])
+    return acc
