@@ -140,3 +140,16 @@ def test_power_table():
     base = RNG.randrange(P)
     tab = back(power_table(base, 16))
     assert tab == [pow(base, i, P) for i in range(16)]
+
+
+def test_interpolate_generic_roundtrip():
+    from stark_anatomy_tpu.ops.interpolate import interpolate_generic
+
+    for n in [1, 2, 5, 16]:
+        pts = rand_ints(n)
+        vals = rand_ints(n)
+        coeffs = back(interpolate_generic(dev(pts), dev(vals)))
+        polyn = Polynomial.from_ints(coeffs, FIELD)
+        for x, v in zip(pts, vals):
+            assert polyn.evaluate(FieldElement(x, FIELD)).value == v
+        assert polyn.degree() < n
