@@ -143,33 +143,33 @@ class RescuePrime:
 # ---------------------------------------------------------------------------
 
 def _device_constants():
-    """Round constants as a (N, 2, m, NLIMBS) Montgomery device array and the
-    MDS matrix entries as Montgomery constants."""
+    """Round constants as a (N, 2, m, NLIMBS, 1) Montgomery device array and
+    the MDS matrix entries as Montgomery constants (m, m, NLIMBS, 1)."""
     import numpy as np
 
     from ..field.limbs import NLIMBS, R, int_to_limbs
 
-    rc = np.zeros((N_ROUNDS, 2, M, NLIMBS), dtype=np.uint32)
+    rc = np.zeros((N_ROUNDS, 2, M, NLIMBS, 1), dtype=np.uint32)
     for r in range(N_ROUNDS):
         for i in range(M):
-            rc[r, 0, i] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + i] * R % P)
-            rc[r, 1, i] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + M + i] * R % P)
-    mds = np.zeros((M, M, NLIMBS), dtype=np.uint32)
+            rc[r, 0, i, :, 0] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + i] * R % P)
+            rc[r, 1, i, :, 0] = int_to_limbs(ROUND_CONSTANTS[2 * r * M + M + i] * R % P)
+    mds = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
     for i in range(M):
         for j in range(M):
-            mds[i, j] = int_to_limbs(MDS[i][j] * R % P)
+            mds[i, j, :, 0] = int_to_limbs(MDS[i][j] * R % P)
     return jnp.asarray(rc), jnp.asarray(mds)
 
 
 def _mds_mul(state: jnp.ndarray, mds: jnp.ndarray) -> jnp.ndarray:
-    """state: (..., m, NLIMBS); 2x2 MDS matrix multiply."""
+    """state: (..., m, NLIMBS, n); 2x2 MDS matrix multiply."""
     rows = []
     for i in range(M):
-        acc = F.mont_mul(state[..., 0, :], mds[i, 0])
+        acc = F.mont_mul(state[..., 0, :, :], mds[i, 0])
         for j in range(1, M):
-            acc = F.add(acc, F.mont_mul(state[..., j, :], mds[i, j]))
+            acc = F.add(acc, F.mont_mul(state[..., j, :, :], mds[i, j]))
         rows.append(acc)
-    return jnp.stack(rows, axis=-2)
+    return jnp.stack(rows, axis=-3)
 
 
 def _permutation_scan(state: jnp.ndarray, collect_trace: bool):
@@ -192,23 +192,21 @@ def _permutation_scan(state: jnp.ndarray, collect_trace: bool):
 
 @jax.jit
 def hash_batch(inputs: jnp.ndarray) -> jnp.ndarray:
-    """Batched Rescue-Prime hash: (B, NLIMBS) mont inputs -> (B, NLIMBS)."""
-    batch = inputs.shape[:-1]
+    """Batched Rescue-Prime hash: (NLIMBS, B) mont inputs -> (NLIMBS, B)."""
     state = jnp.stack(
-        [inputs, jnp.zeros_like(inputs)], axis=-2
-    )  # (B, m, NLIMBS): absorb input into rate, capacity zero
+        [inputs, jnp.zeros_like(inputs)], axis=-3
+    )  # (m, NLIMBS, B): absorb input into rate, capacity zero
     final, _ = _permutation_scan(state, collect_trace=False)
-    return final[..., 0, :]
+    return final[..., 0, :, :]
 
 
 @jax.jit
 def trace_batch(inputs: jnp.ndarray) -> jnp.ndarray:
-    """Batched execution trace: (B, NLIMBS) -> (B, N+1, m, NLIMBS)."""
-    state = jnp.stack([inputs, jnp.zeros_like(inputs)], axis=-2)
+    """Batched execution trace: (NLIMBS, B) -> (N+1, m, NLIMBS, B)."""
+    state = jnp.stack([inputs, jnp.zeros_like(inputs)], axis=-3)
     final, states = _permutation_scan(state, collect_trace=True)
-    # states: (N, B, m, NLIMBS) -> (B, N, m, NLIMBS); prepend initial state
-    states = jnp.moveaxis(states, 0, -3)
-    return jnp.concatenate([state[..., None, :, :], states], axis=-3)
+    # states: (N, m, NLIMBS, B); prepend the initial state
+    return jnp.concatenate([state[None], states], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +223,7 @@ def _rescue_air_kernel(trace_lde, next_lde, c1_lde, c2_lde, mds, mds_inv):
     ~20 Montgomery multiplies per point, versus the hundreds of sparse
     dictionary terms the generic symbolic evaluator expands to
     (reference arithmetization: rescue_prime.py:239-267).
-    trace_lde/next_lde: (m, N, L); c1_lde/c2_lde: (m, N, L).
+    trace_lde/next_lde: (..., m, NLIMBS, N); c1_lde/c2_lde: (m, NLIMBS, N).
     """
     outs = []
     prev3 = F.mont_mul(F.mont_mul(trace_lde, trace_lde), trace_lde)
@@ -280,12 +278,12 @@ def make_air_evaluator(stark):
     c1_lde = jnp.stack(c1)
     c2_lde = jnp.stack(c2)
 
-    mds_np = np.zeros((M, M, NLIMBS), dtype=np.uint32)
-    mdsi_np = np.zeros((M, M, NLIMBS), dtype=np.uint32)
+    mds_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
+    mdsi_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
     for i in range(M):
         for j in range(M):
-            mds_np[i, j] = int_to_limbs(MDS[i][j] * MONT_R % P)
-            mdsi_np[i, j] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
+            mds_np[i, j, :, 0] = int_to_limbs(MDS[i][j] * MONT_R % P)
+            mdsi_np[i, j, :, 0] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
     mds = jnp.asarray(mds_np)
     mds_inv = jnp.asarray(mdsi_np)
 

@@ -13,10 +13,10 @@ from .ntt import (
     coset_interpolate,
     evaluate_domain_horner,
     intt,
-    ntt,
     poly_multiply,
     zerofier,
 )
+from .ntt import ntt as ntt_fn
 from .interpolate import evaluate_generic, interpolate_generic
 
 # reference-style names (reference: ntt.py)
@@ -27,8 +27,13 @@ fast_interpolate = interpolate_generic
 fast_coset_evaluate = coset_evaluate
 fast_coset_divide = coset_divide
 
+# keep `stark_anatomy_tpu.ops.ntt` referring to the MODULE (protocol code
+# imports it); the forward transform function is exposed as `ntt_fn`.
+from . import ntt  # noqa: E402  (rebinds the name to the submodule)
+
 __all__ = [
     "ntt",
+    "ntt_fn",
     "intt",
     "poly_multiply",
     "zerofier",

@@ -3,7 +3,8 @@
 All heavy tables are built ON DEVICE from a single host-computed root
 (via :func:`power_table`, a log-N doubling construction), so creating the
 tables for N = 2^20 costs ~20 vectorized multiplies instead of millions of
-host big-int operations.  Tables are cached per (N, ...) key.
+host big-int operations.  Tables are cached per (N, ...) key and stored in
+the limb-first (NLIMBS, n) device layout.
 
 Reference context: the recursive NTT recomputes root powers on the fly
 (/root/reference/code/ntt.py:3-30); here they are precomputed constants,
@@ -23,27 +24,27 @@ from ..field.limbs import NLIMBS, int_to_limbs, R
 from ..field.scalar import P, Field
 
 
-def _mont_const(value: int) -> jnp.ndarray:
-    """Host int -> device (NLIMBS,) Montgomery-form constant."""
-    return jnp.asarray(np.array(int_to_limbs(value % P * R % P), dtype=np.uint32))
+def mont_const(value: int) -> jnp.ndarray:
+    """Host int -> (NLIMBS, 1) Montgomery-form broadcastable constant."""
+    return jnp.asarray(
+        np.array(int_to_limbs(value % P * R % P), dtype=np.uint32)
+    )[:, None]
 
 
 def power_table(base: int, n: int) -> jnp.ndarray:
-    """Device table [base^0, base^1, ..., base^(n-1)] in Montgomery form.
+    """Device table [base^0, ..., base^(n-1)]: (NLIMBS, n), Montgomery form.
 
     Built by doubling: each of the log2(n) steps appends
-    powers[2^k + i] = powers[2^k] * powers[i], a single vectorized multiply.
+    powers[2^k + i] = powers[2^k] * powers[i], one vectorized multiply.
     """
     assert n & (n - 1) == 0 and n >= 1
-    table = F.mont_one((1,))
-    b = _mont_const(base)
-    step = b[None, :]
+    table = F.mont_one(1)
+    step = mont_const(base)
     size = 1
     while size < n:
         chunk = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
-        table = jnp.concatenate([table, chunk], axis=0)
-        # step for next doubling: base^(2*size) = (base^size)^2
-        step = F.mont_mul(step, step)
+        table = jnp.concatenate([table, chunk], axis=-1)
+        step = F.mont_mul(step, step)  # base^(2*size)
         size *= 2
     return table
 
@@ -75,7 +76,7 @@ class DomainCache:
                 "fwd_powers": power_table(omega, n),
                 "inv_powers": power_table(omega_inv, n),
                 "bitrev": jnp.asarray(bit_reversal_permutation(n)),
-                "n_inv": _mont_const(pow(n, P - 2, P)),
+                "n_inv": mont_const(pow(n, P - 2, P)),
             }
         return self._cache[n]
 
@@ -85,10 +86,6 @@ DOMAINS = DomainCache()
 
 @functools.lru_cache(maxsize=64)
 def coset_power_tables(offset: int, n: int):
-    """(offset^i, offset^-i) device tables for i < n, Montgomery form."""
+    """(offset^i, offset^-i) device tables (NLIMBS, n), Montgomery form."""
     offset_inv = pow(offset, P - 2, P)
     return power_table(offset, n), power_table(offset_inv, n)
-
-
-def mont_const(value: int) -> jnp.ndarray:
-    return _mont_const(value)

@@ -1,9 +1,9 @@
 """Device NTT kernels: the throughput core of the prover.
 
-Iterative radix-2 decimation-in-time over (..., N, NLIMBS) Montgomery limb
-arrays: one bit-reversal gather followed by log2(N) butterfly stages, each
-a reshape + one Montgomery multiply + modular add/sub.  Twiddles are strided
-views of a cached power table (ops/domain.py).
+Iterative radix-2 decimation-in-time over limb-first (..., NLIMBS, N)
+Montgomery arrays: one bit-reversal gather followed by log2(N) butterfly
+stages, each a reshape + one Montgomery multiply + modular add/sub.
+Twiddles are strided views of a cached power table (ops/domain.py).
 
 Public functions are thin eager wrappers that warm the domain caches and
 then dispatch to jitted inner kernels — building tables inside a trace
@@ -27,25 +27,37 @@ from .domain import DOMAINS, coset_power_tables
 
 
 def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Butterfly stages on bit-reversed input x of shape (..., n, NLIMBS)."""
-    batch_shape = x.shape[:-2]
+    """Butterfly stages on bit-reversed input x of shape (..., NLIMBS, n).
+
+    Each stage pairs positions (j, j+m) within blocks of 2m.  Rather than
+    reshaping (which would displace the limb axis from its canonical -2
+    slot), the stage is expressed as full-width elementwise ops:
+
+        t       = x * w_stage          (w tiled across blocks)
+        out_lo  = x + roll(t, -m)      (u + w*v at lower positions)
+        out_hi  = roll(x, m) - t       (u - w*v at upper positions)
+        out     = where(bit m of j clear, out_lo, out_hi)
+
+    which keeps every op in the (..., NLIMBS, n) layout the VPU likes.
+    """
     m = 1
     while m < n:
-        # twiddles for blocks of size 2m: omega_{2m}^j = omega^{(n/2m) * j}
-        w = powers[:: n // (2 * m)][:m]                      # (m, NLIMBS)
-        x = x.reshape(batch_shape + (n // (2 * m), 2, m, -1))
-        u = x[..., 0, :, :]
-        t = F.mont_mul(x[..., 1, :, :], w)
-        x = jnp.concatenate([F.add(u, t), F.sub(u, t)], axis=-2)
-        x = x.reshape(batch_shape + (n, -1))
+        # twiddles for blocks of size 2m: omega_{2m}^t = omega^{(n/2m)*t}
+        w = powers[:, :: n // (2 * m)][:, :m]                # (NLIMBS, m)
+        w_stage = jnp.tile(w, (1,) * (w.ndim - 1) + (n // m,))
+        mask = (jnp.arange(n, dtype=jnp.uint32) & m) == 0    # lower of pair
+        t = F.mont_mul(x, w_stage)
+        lo = F.add(x, jnp.roll(t, -m, axis=-1))
+        hi = F.sub(jnp.roll(x, m, axis=-1), t)
+        x = jnp.where(mask, lo, hi)
         m *= 2
     return x
 
 
 def ntt_core(values, bitrev, powers, n_inv=None):
     """Jittable NTT body with tables passed in explicitly."""
-    n = values.shape[-2]
-    x = jnp.take(values, bitrev, axis=-2)
+    n = values.shape[-1]
+    x = jnp.take(values, bitrev, axis=-1)
     x = _stages(x, powers, n)
     if n_inv is not None:
         x = F.mont_mul(x, n_inv)
@@ -61,7 +73,7 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     With ``inverse=True``: evaluations -> coefficients (includes the 1/n
     scaling, like the reference's intt, ntt.py:20-30).
     """
-    n = values.shape[-2]
+    n = values.shape[-1]
     assert n & (n - 1) == 0, "NTT length must be a power of two"
     if n == 1:
         return values
@@ -76,17 +88,17 @@ def intt(values: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pad_coeffs(coeffs: jnp.ndarray, order: int) -> jnp.ndarray:
-    n = coeffs.shape[-2]
+    n = coeffs.shape[-1]
     assert n <= order, f"cannot fit {n} coefficients in NTT of size {order}"
     if n == order:
         return coeffs
-    pad = [(0, 0)] * (coeffs.ndim - 2) + [(0, order - n), (0, 0)]
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, order - n)]
     return jnp.pad(coeffs, pad)
 
 
 def coset_scale(coeffs: jnp.ndarray, offset: int, inverse: bool = False) -> jnp.ndarray:
     """Substitute x -> offset*x (coefficient-wise scale by offset^i)."""
-    n = coeffs.shape[-2]
+    n = coeffs.shape[-1]
     fwd, inv_tab = coset_power_tables(offset, n)
     return F.mont_mul(coeffs, inv_tab if inverse else fwd)
 
@@ -116,7 +128,7 @@ def _coset_interp_core(values, inv_scale_tab, bitrev, inv_powers, n_inv):
 
 def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Inverse of coset_evaluate at the same order."""
-    n = values.shape[-2]
+    n = values.shape[-1]
     dom = DOMAINS.get(n)
     _, inv_tab = coset_power_tables(offset, n)
     return _coset_interp_core(values, inv_tab, dom["bitrev"], dom["inv_powers"], dom["n_inv"])
@@ -125,18 +137,18 @@ def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
 def poly_multiply(lhs: jnp.ndarray, rhs: jnp.ndarray, out_len: Optional[int] = None) -> jnp.ndarray:
     """Polynomial product via NTT -> Hadamard -> iNTT.
 
-    lhs/rhs are coefficient arrays (..., n?, NLIMBS); the result is returned
-    with ``out_len`` coefficients (default: len(lhs)+len(rhs)-1).
+    lhs/rhs are coefficient arrays (..., NLIMBS, n?); the result is
+    returned with ``out_len`` coefficients (default: len+len-1).
     Device analog of the reference's fast_multiply (ntt.py:32-64).
     """
-    la, lb = lhs.shape[-2], rhs.shape[-2]
+    la, lb = lhs.shape[-1], rhs.shape[-1]
     if out_len is None:
         out_len = la + lb - 1
     order = 1
     while order < la + lb - 1:
         order *= 2
     prod = intt(F.mont_mul(ntt(_pad_coeffs(lhs, order)), ntt(_pad_coeffs(rhs, order))))
-    return prod[..., :out_len, :]
+    return prod[..., :out_len]
 
 
 def coset_divide(
@@ -154,7 +166,7 @@ def coset_divide(
     q = F.mont_mul(lc, F.inv(rc))
     coeffs = coset_scale(intt(q), offset, inverse=True)
     if out_len is not None:
-        coeffs = coeffs[..., :out_len, :]
+        coeffs = coeffs[..., :out_len]
     return coeffs
 
 
@@ -162,38 +174,36 @@ def coset_divide(
 def evaluate_domain_horner(coeffs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """Evaluate a polynomial at arbitrary points (Horner scan over coeffs).
 
-    O(deg) sequential steps of fully vectorized work over the points axis;
-    the device fallback for non-smooth domains (the smooth-domain path is
-    ``ntt``/``coset_evaluate``).
+    coeffs (..., NLIMBS, K), points (..., NLIMBS, n).  O(K) sequential
+    steps of fully vectorized work over the points axis; the device
+    fallback for non-smooth domains (smooth domains use ``ntt``).
     """
 
     def step(acc, c):
-        return F.add(F.mont_mul(acc, points), c), None
+        return F.add(F.mont_mul(acc, points), c[..., :, None]), None
 
-    rev = jnp.flip(coeffs, axis=-2)
+    rev = jnp.flip(coeffs, axis=-1)
     init = jnp.zeros_like(points)
-    acc, _ = jax.lax.scan(step, init, jnp.moveaxis(rev, -2, 0))
+    acc, _ = jax.lax.scan(step, init, jnp.moveaxis(rev, -1, 0))
     return acc
 
 
 def zerofier(points: jnp.ndarray) -> jnp.ndarray:
     """Monic vanishing polynomial of a set of points, via a product tree.
 
-    points: (n, NLIMBS) Montgomery form.  Returns (n+1, NLIMBS) coefficients.
+    points: (NLIMBS, n) Montgomery form.  Returns (NLIMBS, n+1) coefficients.
     Each tree level is one batched NTT multiply over all sibling pairs, so
     the whole construction is log2(n) batched kernels (device analog of the
     reference's recursive fast_zerofier, ntt.py:66-80).
     """
-    n = points.shape[0]
+    n = points.shape[-1]
     assert n >= 1
-    # Split n into power-of-two chunks, build each by a balanced tree, then
-    # multiply the (<= log n) chunk zerofiers together.
     chunks = []
     start = 0
     rem = n
     while rem:
         size = 1 << (rem.bit_length() - 1)
-        chunks.append(_zerofier_pow2(points[start : start + size]))
+        chunks.append(_zerofier_pow2(points[:, start : start + size]))
         start += size
         rem -= size
     acc = chunks[0]
@@ -204,12 +214,13 @@ def zerofier(points: jnp.ndarray) -> jnp.ndarray:
 
 def _zerofier_pow2(points: jnp.ndarray) -> jnp.ndarray:
     """Zerofier of 2^k points via a balanced product tree."""
-    n = points.shape[0]
-    # level 0: linear factors (x - p): coeffs [[-p, 1]] -> (n, 2, NLIMBS)
-    ones = jnp.broadcast_to(F.mont_one(), (n, 1, points.shape[-1]))
-    polys = jnp.concatenate([F.neg(points)[:, None, :], ones], axis=1)
+    n = points.shape[-1]
+    # level 0: linear factors (x - p): batch-major (n, NLIMBS, 2)
+    neg = jnp.moveaxis(F.neg(points), -1, 0)[:, :, None]     # (n, NLIMBS, 1)
+    ones = jnp.broadcast_to(F.mont_one(1), (n,) + F.mont_one(1).shape)
+    polys = jnp.concatenate([neg, ones], axis=-1)            # (n, NLIMBS, 2)
     while polys.shape[0] > 1:
-        d = polys.shape[1] - 1  # monic polys of degree d
+        d = polys.shape[-1] - 1  # monic polys of degree d
         left, right = polys[0::2], polys[1::2]
         polys = poly_multiply(left, right, out_len=2 * d + 1)
     return polys[0]

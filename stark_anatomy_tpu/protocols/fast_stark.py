@@ -119,14 +119,16 @@ class FastStark(StarkParams):
         # derivative: (k+1) * z_{k+1}
         import jax.numpy as jnp
 
-        kplus1 = np.arange(1, zn.shape[0], dtype=np.uint32)
-        k_limbs = np.zeros((len(kplus1), zn.shape[-1]), dtype=np.uint32)
-        k_limbs[:, 0] = kplus1 & 0xFFFF
-        k_limbs[:, 1] = kplus1 >> 16
+        from ..field.limbs import NLIMBS
+
+        kplus1 = np.arange(1, zn.shape[-1], dtype=np.uint32)
+        k_limbs = np.zeros((NLIMBS, len(kplus1)), dtype=np.uint32)
+        k_limbs[0] = kplus1 & 0xFFFF
+        k_limbs[1] = kplus1 >> 16
         k_mont = F.to_mont(jnp.asarray(k_limbs))
-        dz = F.mont_mul(zn[1:], k_mont)                        # (n, L)
-        dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))             # (M, L)
-        inv_dz = F.inv(dz_evals[:n])                            # (n, L)
+        dz = F.mont_mul(zn[..., 1:], k_mont)                    # (L, n)
+        dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))              # (L, M)
+        inv_dz = F.inv(dz_evals[..., :n])                        # (L, n)
 
         # Z_n on the FRI coset
         zn_fri = NTT.coset_evaluate(zn, g, N)                  # (N, L)
@@ -153,7 +155,7 @@ class FastStark(StarkParams):
         return self._interp_cache
 
     def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
-        """(R, n, L) trace columns -> (R, N_fri, L) low-degree extension.
+        """(..., R, L, n) trace columns -> (..., R, L, N_fri) LDE.
 
         Partial-fractions interpolation fused with the LDE: the trace
         polynomial f (degree < n) is never materialized in coefficient form.
@@ -164,9 +166,9 @@ class FastStark(StarkParams):
         c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
         c = NTT._pad_coeffs(c, M)                               # zeros beyond n
         e = NTT.intt(c)
-        a = jnp.roll(e, -1, axis=-2)                            # A = M * rot(e)
+        a = jnp.roll(e, -1, axis=-1)                            # A = M * rot(e)
         a = F.mont_mul(a, t["m_const"])
-        a_lde = NTT.coset_evaluate(a, self.generator.value, N)  # (R, N, L)
+        a_lde = NTT.coset_evaluate(a, self.generator.value, N)  # (..., R, L, N)
         return F.mont_mul(F.mont_mul(t["zn_fri"], a_lde), t["inv_xm"])
 
     def _boundary_tables(self, boundary: Boundary):
@@ -217,25 +219,26 @@ class FastStark(StarkParams):
         N = self.fri_domain_length
         t = self._interp_tables()
 
-        # randomized trace columns on device: (R, n, L)
+        # randomized trace columns on device: (R, L, n)
         rows = [[v.value for v in row] for row in trace] + [
             [self.field.sample(os.urandom(17)).value for _ in range(R)]
             for _ in range(self.num_randomizers)
         ]
-        flat = [rows[c][s] for s in range(R) for c in range(len(rows))]
-        columns = device_from_ints(flat).reshape(R, len(rows), -1)
+        columns = jnp.stack(
+            [device_from_ints([rows[c][s] for c in range(len(rows))]) for s in range(R)]
+        )
 
         # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
         # so trace(omicron * x) is a roll of the codeword)
-        trace_lde = self._trace_lde(columns)                     # (R, N, L)
-        next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-2)
+        trace_lde = self._trace_lde(columns)                     # (R, L, N)
+        next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-1)
 
         # boundary quotients, committed
         inv_bz, interp = self._boundary_tables(boundary)
-        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)    # (R, N, L)
+        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)    # (R, L, N)
         from ..utils.convert import canonical_np, int_from_row
 
-        bq_np = canonical_np(bq_lde)                             # (R, N, L)
+        bq_np = canonical_np(bq_lde)                             # (R, N, L) rows
         bq_trees: List[MerkleTree] = []
         for s in range(R):
             tree = MerkleTree.from_limbs(bq_np[s])
@@ -245,7 +248,7 @@ class FastStark(StarkParams):
         # transition quotients: pointwise AIR / zerofier
         if air_evaluator is None:
             air_evaluator = compile_air(transition_constraints)
-        constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)  # (C, N, L)
+        constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)  # (C, L, N)
         tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
 
         # randomizer polynomial

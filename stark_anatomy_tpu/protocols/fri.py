@@ -39,8 +39,9 @@ _TWO_INV = pow(2, P - 2, P)
 
 @jax.jit
 def _fold_kernel(codeword, u, alpha, two_inv):
-    half = codeword.shape[0] // 2
-    a, b = codeword[:half], codeword[half:]
+    # codeword: (NLIMBS, N) limb-first; u: (NLIMBS, N/2); alpha: (NLIMBS, 1)
+    half = codeword.shape[-1] // 2
+    a, b = codeword[..., :half], codeword[..., half:]
     s = F.add(a, b)
     d = F.mont_mul(F.mont_mul(alpha, u), F.sub(a, b))
     return F.mont_mul(two_inv, F.add(s, d))
@@ -48,8 +49,8 @@ def _fold_kernel(codeword, u, alpha, two_inv):
 
 @jax.jit
 def _square_half(u):
-    half = u.shape[0] // 2
-    return F.mont_mul(u[:half], u[:half])
+    half = u.shape[-1] // 2
+    return F.mont_mul(u[..., :half], u[..., :half])
 
 
 class Fri:
@@ -188,8 +189,8 @@ class Fri:
         return a_indices + b_indices
 
     def prove(self, codeword: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
-        """codeword: device Montgomery limb array of shape (N, NLIMBS)."""
-        assert self.domain_length == codeword.shape[0], (
+        """codeword: device Montgomery limb array of shape (NLIMBS, N)."""
+        assert self.domain_length == codeword.shape[-1], (
             "initial codeword length does not match FRI domain length"
         )
         layers, trees = self.commit(codeword, proof_stream)

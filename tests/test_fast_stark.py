@@ -33,7 +33,7 @@ def test_trace_lde_interpolates_trace():
     rp, stark = setup_stark()
     n = stark.randomized_trace_length
     vals = [RNG.randrange(P) for _ in range(n)]
-    cols = device_from_ints(vals).reshape(1, n, -1)
+    cols = device_from_ints(vals)[None]  # (1, NLIMBS, n)
     lde = stark._trace_lde(cols)
 
     # check at a handful of FRI-domain points against scalar interpolation

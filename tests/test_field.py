@@ -109,13 +109,15 @@ def test_montgomery_constants():
 # ---------------------------------------------------------------------------
 
 def device_vals(vals):
-    import jax.numpy as jnp
+    from stark_anatomy_tpu.utils.convert import device_from_ints
 
-    return jnp.asarray(L.ints_to_array(vals, montgomery=True))
+    return device_from_ints(vals)
 
 
 def back(arr):
-    return L.array_to_ints(np.asarray(arr), montgomery=True)
+    from stark_anatomy_tpu.utils.convert import ints_from_device
+
+    return ints_from_device(arr)
 
 
 def test_mont_mul_matches_scalar():
@@ -149,11 +151,11 @@ def test_to_from_mont_roundtrip():
     import jax.numpy as jnp
 
     vals = rand_ints(10)
-    raw = jnp.asarray(L.ints_to_array(vals, montgomery=False))
+    raw = jnp.asarray(L.ints_to_array(vals, montgomery=False).T)  # (8, n)
     m = F.to_mont(raw)
-    assert L.array_to_ints(np.asarray(m), montgomery=True) == vals
+    assert L.array_to_ints(np.asarray(m).T, montgomery=True) == vals
     r = F.from_mont(m)
-    assert L.array_to_ints(np.asarray(r), montgomery=False) == vals
+    assert L.array_to_ints(np.asarray(r).T, montgomery=False) == vals
 
 
 def test_eq_iszero_mul_by_int():
@@ -161,14 +163,14 @@ def test_eq_iszero_mul_by_int():
     da = device_vals(a)
     assert bool(F.eq(da, da).all())
     assert not bool(F.is_zero(da).any())
-    assert bool(F.is_zero(F.mont_zero((3,))).all())
+    assert bool(F.is_zero(F.mont_zero(3)).all())
     assert back(F.mul_by_int(da, 7)) == [x * 7 % P for x in a]
 
 
 def test_mont_mul_broadcasting():
     a = rand_ints(6)
     s = rand_ints(1)
-    da = device_vals(a)
-    ds = device_vals(s)[0]  # shape (8,)
+    da = device_vals(a)          # (8, 6)
+    ds = device_vals(s)          # (8, 1) broadcasts across elements
     got = back(F.mont_mul(da, ds))
     assert got == [(x * s[0]) % P for x in a]

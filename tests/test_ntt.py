@@ -25,12 +25,15 @@ def rand_ints(n):
     return [RNG.randrange(P) for _ in range(n)]
 
 
+from stark_anatomy_tpu.utils.convert import device_from_ints, ints_from_device
+
+
 def dev(vals):
-    return jnp.asarray(L.ints_to_array(vals, montgomery=True))
+    return device_from_ints(vals)
 
 
 def back(arr):
-    return L.array_to_ints(np.asarray(arr), montgomery=True)
+    return ints_from_device(arr)
 
 
 def poly(vals):

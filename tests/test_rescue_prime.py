@@ -90,9 +90,10 @@ def test_device_trace_matches_scalar():
     rp = RescuePrime()
     inputs = [VEC2_IN, RNG.randrange(P)]
     traces = trace_batch(device_from_ints(inputs))
-    assert traces.shape[:3] == (2, rp.N + 1, rp.m)
+    # limb-first layout: (n_cycles, m, NLIMBS, B)
+    assert traces.shape == (rp.N + 1, rp.m, 8, len(inputs))
     for b, v in enumerate(inputs):
         want = rp.trace(FieldElement(v, FIELD))
-        got = ints_from_device(traces[b])
+        got = ints_from_device(traces[..., b : b + 1])
         flat_want = [cell.value for row in want for cell in row]
         assert got == flat_want
