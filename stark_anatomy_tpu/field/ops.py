@@ -3,161 +3,191 @@
 LAYOUT: all device field arrays are LIMB-FIRST uint32 arrays of shape
 (..., NLIMBS, n): the limb axis is second-to-last (maps to TPU sublanes,
 exactly 8), the element axis is last (maps to the 128-wide lane dimension).
-An (n, 8) element-major layout would put the 8-limb axis on the lane
-dimension and waste 15/16 of the VPU and 16x the HBM footprint — measured
-~16x slower on v5e.  Host<->device converters (utils/convert.py) transpose
-at the boundary.
 
-Elements are in Montgomery form: x_enc = x * 2^128 mod p.  The core
-primitive is :func:`mont_mul` — product-scanning Montgomery multiplication
-with deferred carries, built entirely from uint32 VPU ops (multiply,
-shift, mask, add); 16-bit limbs make every half-product fit uint32 exactly
-and let a column of up to 16 of them accumulate carry-free.  This replaces
-the reference's Python big-int ``(a*b) % p`` (reference: algebra.py:82-83)
-as the throughput kernel of the whole framework.
+KERNEL STYLE: the Montgomery pipeline is written as fully unrolled
+per-limb-row arithmetic — Python lists of (..., n) arrays combined with
+elementwise ops and SCALAR constants, stacked back into a limb array once
+at the end.  This shape matters enormously on TPU: pad/stack/concat ops
+defeat XLA's elementwise fusion and materialize every intermediate to HBM
+(measured ~100x slower), whereas the unrolled form fuses into a handful of
+VPU loops.  Raw u32 multiply throughput on v5e is ~7 T ops/s, so fused
+mont_mul is memory-bound at ~3 HBM passes per call.
+
+Elements are in Montgomery form: x_enc = x * 2^128 mod p.  16-bit limbs
+make every half-product fit uint32 exactly and let columns of up to 16 of
+them accumulate carry-free.  mont_mul replaces the reference's Python
+big-int ``(a*b) % p`` (reference: algebra.py:82-83) as the throughput
+kernel of the whole framework.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import LIMB_BITS, MASK, NLIMBS, NPRIME_LIMBS, ONE_MONT_LIMBS, P_LIMBS, R2_LIMBS
+from .limbs import LIMB_BITS, MASK, NLIMBS, NPRIME, ONE_MONT_LIMBS, int_to_limbs, R
 from .scalar import P
 
 _U32 = jnp.uint32
 _MASK = np.uint32(MASK)
-_NCOLS = 2 * NLIMBS + 1  # columns of a full 8x8 limb product (+ carry headroom)
+_P_LIMBS = [np.uint32(v) for v in int_to_limbs(P)]
+_NP_LIMBS = [np.uint32(v) for v in int_to_limbs(NPRIME)]
+_ONE16 = np.uint32(1 << LIMB_BITS)
+_ONE = np.uint32(1)
 
 
-def _constant(limbs: np.ndarray) -> jnp.ndarray:
-    """(NLIMBS,) host constant -> (NLIMBS, 1) broadcastable device column."""
-    return jnp.asarray(limbs, dtype=_U32)[:, None]
+def _rows(a: jnp.ndarray) -> List[jnp.ndarray]:
+    return [a[..., k, :] for k in range(NLIMBS)]
 
 
-def _pad_limb_axis(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
-    pad = [(0, 0)] * (x.ndim - 2) + [(lo, hi), (0, 0)]
-    return jnp.pad(x, pad)
+def _stack(rows: List[jnp.ndarray]) -> jnp.ndarray:
+    return jnp.stack(rows, axis=-2)
 
 
-def _full_product_columns(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Column sums of the 2N-limb product a*b, carries deferred.
-
-    a, b: (..., NLIMBS, n).  Returns (..., 2N+1, n) with column k = sum of
-    16-bit half-products landing at weight 2^(16k); each column < 2^21.
-    """
-    prod = a[..., :, None, :] * b[..., None, :, :]      # (..., N, N, n)
-    lo = prod & _MASK
-    hi = prod >> LIMB_BITS
-    cols = jnp.zeros(a.shape[:-2] + (_NCOLS,) + a.shape[-1:], dtype=_U32)
-    for i in range(NLIMBS):
-        cols = cols + _pad_limb_axis(lo[..., i, :, :], i, _NCOLS - NLIMBS - i)
-        cols = cols + _pad_limb_axis(hi[..., i, :, :], i + 1, _NCOLS - NLIMBS - i - 1)
-    return cols
-
-
-def _low_product_limbs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a*b) mod 2^128 as carry-propagated 16-bit limbs."""
-    prod = a[..., :, None, :] * b[..., None, :, :]
-    lo = prod & _MASK
-    hi = prod >> LIMB_BITS
-    cols = jnp.zeros(a.shape, dtype=_U32)
-    for i in range(NLIMBS):
-        cols = cols + _pad_limb_axis(lo[..., i, : NLIMBS - i, :], i, 0)
-        if i + 1 < NLIMBS:
-            cols = cols + _pad_limb_axis(hi[..., i, : NLIMBS - i - 1, :], i + 1, 0)
-    limbs, _ = _carry_propagate(cols)
-    return limbs
-
-
-def _carry_propagate(cols: jnp.ndarray):
-    """Propagate carries across the limb axis; returns (limbs, carry_out)."""
-    ncols = cols.shape[-2]
-    carry = jnp.zeros(cols.shape[:-2] + cols.shape[-1:], dtype=_U32)
+def _carry_rows(cols: List[jnp.ndarray]):
+    """Carry-propagate a list of column sums; returns (limb rows, carry)."""
     limbs = []
-    for k in range(ncols):
-        acc = cols[..., k, :] + carry
+    carry = None
+    for c in cols:
+        acc = c if carry is None else c + carry
         limbs.append(acc & _MASK)
         carry = acc >> LIMB_BITS
-    return jnp.stack(limbs, axis=-2), carry
+    return limbs, carry
 
 
-def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b over 16-bit limbs; returns (difference mod 2^128, borrow_out)."""
-    borrow = jnp.zeros(a.shape[:-2] + a.shape[-1:], dtype=_U32)
-    limbs = []
+def _mont_mul_rows(ar: List[jnp.ndarray], br: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Montgomery product on unrolled limb rows (the fusable core)."""
+    # T = a * b: 17 columns of 16-bit half-products (each < 2^21)
+    lo = [[None] * NLIMBS for _ in range(NLIMBS)]
+    hi = [[None] * NLIMBS for _ in range(NLIMBS)]
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            p = ar[i] * br[j]
+            lo[i][j] = p & _MASK
+            hi[i][j] = p >> LIMB_BITS
+    t_cols: List[jnp.ndarray] = [None] * (2 * NLIMBS + 1)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            k = i + j
+            t_cols[k] = lo[i][j] if t_cols[k] is None else t_cols[k] + lo[i][j]
+            t_cols[k + 1] = hi[i][j] if t_cols[k + 1] is None else t_cols[k + 1] + hi[i][j]
+
+    t_low, c8 = _carry_rows(t_cols[:NLIMBS])
+
+    # m = (T mod R) * (-p^-1) mod R  — low product with scalar constants
+    m_cols: List[jnp.ndarray] = [None] * NLIMBS
+    for i in range(NLIMBS):
+        for j in range(NLIMBS - i):
+            p = t_low[i] * _NP_LIMBS[j]
+            k = i + j
+            l = p & _MASK
+            m_cols[k] = l if m_cols[k] is None else m_cols[k] + l
+            if k + 1 < NLIMBS:
+                m_cols[k + 1] = (p >> LIMB_BITS) if m_cols[k + 1] is None else m_cols[k + 1] + (p >> LIMB_BITS)
+    m_rows, _ = _carry_rows(m_cols)
+
+    # U = T + m * p;  result = U >> 128, then conditional subtract
+    u_cols: List[jnp.ndarray] = [None] * (2 * NLIMBS + 1)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            p = m_rows[i] * _P_LIMBS[j]
+            k = i + j
+            l = p & _MASK
+            h = p >> LIMB_BITS
+            u_cols[k] = l if u_cols[k] is None else u_cols[k] + l
+            u_cols[k + 1] = h if u_cols[k + 1] is None else u_cols[k + 1] + h
+    zero = jnp.zeros_like(ar[0])
+    for k in range(2 * NLIMBS + 1):
+        if u_cols[k] is None:
+            u_cols[k] = zero
     for k in range(NLIMBS):
-        tmp = a[..., k, :] + np.uint32(1 << LIMB_BITS) - b[..., k, :] - borrow
-        limbs.append(tmp & _MASK)
-        borrow = np.uint32(1) - (tmp >> LIMB_BITS)
-    return jnp.stack(limbs, axis=-2), borrow
+        u_cols[k] = u_cols[k] + t_low[k]
+    for k in range(NLIMBS, 2 * NLIMBS + 1):
+        if t_cols[k] is not None:
+            u_cols[k] = u_cols[k] + t_cols[k]
+    u_cols[NLIMBS] = u_cols[NLIMBS] + c8
+
+    u_limbs, final_carry = _carry_rows(u_cols)
+    r = u_limbs[NLIMBS : 2 * NLIMBS]
+    overflow = u_limbs[2 * NLIMBS] + final_carry
+    return _cond_sub_p_rows(r, overflow)
 
 
-def _add_limbs(a: jnp.ndarray, b: jnp.ndarray):
-    carry = jnp.zeros(a.shape[:-2] + a.shape[-1:], dtype=_U32)
-    limbs = []
-    for k in range(NLIMBS):
-        acc = a[..., k, :] + b[..., k, :] + carry
-        limbs.append(acc & _MASK)
-        carry = acc >> LIMB_BITS
-    return jnp.stack(limbs, axis=-2), carry
-
-
-def _cond_sub_p(r: jnp.ndarray, overflow: jnp.ndarray) -> jnp.ndarray:
+def _cond_sub_p_rows(r: List[jnp.ndarray], overflow: jnp.ndarray) -> List[jnp.ndarray]:
     """Reduce r (< 2p, possibly with a 2^128 overflow bit) into [0, p)."""
-    p = jnp.broadcast_to(_constant(P_LIMBS), r.shape)
-    d, borrow = _sub_limbs(r, p)
+    d = []
+    borrow = None
+    for k in range(NLIMBS):
+        tmp = r[k] + _ONE16 - _P_LIMBS[k]
+        if borrow is not None:
+            tmp = tmp - borrow
+        d.append(tmp & _MASK)
+        borrow = _ONE - (tmp >> LIMB_BITS)
     ge = jnp.logical_or(overflow.astype(bool), borrow == 0)
-    return jnp.where(ge[..., None, :], d, r)
+    return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
 
 
 @jax.jit
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*R^{-1} mod p over limb-first arrays.
-
-    Product scanning with deferred carries: one full 8x8 limb convolution
-    for T = a*b, a low convolution for m = T*(-p^{-1}) mod R, one more for
-    m*p, then (T + m*p) >> 128 and a conditional subtract.
-    """
+    """Montgomery product a*b*R^{-1} mod p over limb-first arrays."""
     a = jnp.asarray(a, _U32)
     b = jnp.asarray(b, _U32)
     a, b = jnp.broadcast_arrays(a, b)
-    t_cols = _full_product_columns(a, b)                  # (..., 17, n)
-    t_low, c8 = _carry_propagate(t_cols[..., :NLIMBS, :])  # exact low 128 bits
+    return _stack(_mont_mul_rows(_rows(a), _rows(b)))
 
-    nprime = jnp.broadcast_to(_constant(NPRIME_LIMBS), a.shape)
-    m = _low_product_limbs(t_low, nprime)                  # (..., 8, n)
 
-    mp_cols = _full_product_columns(m, jnp.broadcast_to(_constant(P_LIMBS), a.shape))
-    u_cols = mp_cols + _pad_limb_axis(t_low, 0, _NCOLS - NLIMBS)
-    high = t_cols[..., NLIMBS:, :]                         # (..., 9, n)
-    u_cols = u_cols + _pad_limb_axis(
-        high + _pad_limb_axis(c8[..., None, :], 0, NLIMBS), NLIMBS, 0
-    )
-    u_limbs, final_carry = _carry_propagate(u_cols)        # low 8 limbs == 0
-    r = u_limbs[..., NLIMBS : 2 * NLIMBS, :]
-    overflow = u_limbs[..., 2 * NLIMBS, :] + final_carry   # the 2^128 bit
-    return _cond_sub_p(r, overflow)
+def _add_rows(ar, br):
+    out = []
+    carry = None
+    for k in range(NLIMBS):
+        acc = ar[k] + br[k]
+        if carry is not None:
+            acc = acc + carry
+        out.append(acc & _MASK)
+        carry = acc >> LIMB_BITS
+    return out, carry
+
+
+def _sub_rows(ar, br):
+    out = []
+    borrow = None
+    for k in range(NLIMBS):
+        tmp = ar[k] + _ONE16 - br[k]
+        if borrow is not None:
+            tmp = tmp - borrow
+        out.append(tmp & _MASK)
+        borrow = _ONE - (tmp >> LIMB_BITS)
+    return out, borrow
 
 
 @jax.jit
 def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Field addition (encoding-agnostic: works in Montgomery form too)."""
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
-    s, carry = _add_limbs(a, b)
-    return _cond_sub_p(s, carry)
+    s, carry = _add_rows(_rows(a), _rows(b))
+    return _stack(_cond_sub_p_rows(s, carry))
 
 
 @jax.jit
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Field subtraction."""
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
-    d, borrow = _sub_limbs(a, b)
-    dp, _ = _add_limbs(d, jnp.broadcast_to(_constant(P_LIMBS), d.shape))
-    return jnp.where(borrow.astype(bool)[..., None, :], dp, d)
+    ar, br = _rows(a), _rows(b)
+    d, borrow = _sub_rows(ar, br)
+    dp = []
+    carry = None
+    for k in range(NLIMBS):
+        acc = d[k] + _P_LIMBS[k]
+        if carry is not None:
+            acc = acc + carry
+        dp.append(acc & _MASK)
+        carry = acc >> LIMB_BITS
+    neg_needed = borrow.astype(bool)
+    return _stack([jnp.where(neg_needed, dp[k], d[k]) for k in range(NLIMBS)])
 
 
 def neg(a: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +196,8 @@ def neg(a: jnp.ndarray) -> jnp.ndarray:
 
 def mont_one(n: int = 1, batch=()) -> jnp.ndarray:
     """Montgomery-form ones of shape (*batch, NLIMBS, n)."""
-    return jnp.broadcast_to(_constant(ONE_MONT_LIMBS), tuple(batch) + (NLIMBS, n))
+    col = jnp.asarray(np.array(ONE_MONT_LIMBS, dtype=np.uint32))[:, None]
+    return jnp.broadcast_to(col, tuple(batch) + (NLIMBS, n))
 
 
 def mont_zero(n: int = 1, batch=()) -> jnp.ndarray:
@@ -176,14 +207,18 @@ def mont_zero(n: int = 1, batch=()) -> jnp.ndarray:
 @jax.jit
 def to_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Canonical limbs -> Montgomery form (multiply by R^2, reduce)."""
-    return mont_mul(a, jnp.broadcast_to(_constant(R2_LIMBS), a.shape))
+    r2 = [np.uint32(v) for v in int_to_limbs(R * R % P)]
+    ar = _rows(jnp.asarray(a, _U32))
+    br = [jnp.broadcast_to(v, ar[0].shape) for v in r2]
+    return _stack(_mont_mul_rows(ar, br))
 
 
 @jax.jit
 def from_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical limbs (multiply by 1, reduce)."""
-    one = jnp.zeros_like(a).at[..., 0, :].set(1)
-    return mont_mul(a, one)
+    ar = _rows(jnp.asarray(a, _U32))
+    one = [jnp.broadcast_to(np.uint32(1 if k == 0 else 0), ar[0].shape) for k in range(NLIMBS)]
+    return _stack(_mont_mul_rows(ar, one))
 
 
 def _pow_bits(exponent: int) -> np.ndarray:
@@ -201,7 +236,9 @@ def mont_pow(x: jnp.ndarray, exponent: int) -> jnp.ndarray:
     to compile; reference context: rescue_prime.py:150, algebra.py:38-45).
     """
     if exponent == 0:
-        return jnp.broadcast_to(_constant(ONE_MONT_LIMBS), x.shape)
+        return jnp.broadcast_to(
+            jnp.asarray(np.array(ONE_MONT_LIMBS, dtype=np.uint32))[:, None], x.shape
+        )
     bits = jnp.asarray(_pow_bits(exponent))
 
     def step(acc, bit):
@@ -220,9 +257,7 @@ def inv(x: jnp.ndarray) -> jnp.ndarray:
 
 def mul_by_int(a: jnp.ndarray, c: int) -> jnp.ndarray:
     """Multiply Montgomery-form a by a canonical integer constant c."""
-    from .limbs import R, int_to_limbs
-
-    c_mont = _constant(np.array(int_to_limbs(c % P * R % P), dtype=np.uint32))
+    c_mont = jnp.asarray(np.array(int_to_limbs(c % P * R % P), dtype=np.uint32))[:, None]
     return mont_mul(a, jnp.broadcast_to(c_mont, a.shape))
 
 
