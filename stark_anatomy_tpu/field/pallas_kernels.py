@@ -1,0 +1,160 @@
+"""Pallas TPU kernels for the field hot path.
+
+The jnp Montgomery pipeline (field/ops.py) relies on XLA fusing ~800
+elementwise ops; XLA gets partway there (~2.9 ms for 2^20 multiplies on
+v5e) but still materializes intermediate groups to HBM.  These kernels run
+the same unrolled per-limb-row arithmetic inside a single Pallas program,
+so every intermediate lives in VMEM/registers and the op is memory-bound
+on exactly its inputs and outputs.
+
+Layout contract matches field/ops.py: uint32 (..., NLIMBS, n), 16-bit
+limbs, Montgomery form.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, MASK, NLIMBS, NPRIME, int_to_limbs
+from .scalar import P
+
+_MASK = np.uint32(MASK)
+_ONE16 = np.uint32(1 << LIMB_BITS)
+_ONE = np.uint32(1)
+_P_LIMBS = [np.uint32(v) for v in int_to_limbs(P)]
+_NP_LIMBS = [np.uint32(v) for v in int_to_limbs(NPRIME)]
+
+# lane-dimension block size; element counts in the framework are powers of
+# two >= 256 on the hot path
+BLOCK = 512
+
+
+def _mont_mul_block(ar, br):
+    """Unrolled Montgomery product on lists of equal-shape row arrays."""
+    lo = [[None] * NLIMBS for _ in range(NLIMBS)]
+    hi = [[None] * NLIMBS for _ in range(NLIMBS)]
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            prod = ar[i] * br[j]
+            lo[i][j] = prod & _MASK
+            hi[i][j] = prod >> LIMB_BITS
+    t_cols = [None] * (2 * NLIMBS + 1)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            k = i + j
+            t_cols[k] = lo[i][j] if t_cols[k] is None else t_cols[k] + lo[i][j]
+            t_cols[k + 1] = hi[i][j] if t_cols[k + 1] is None else t_cols[k + 1] + hi[i][j]
+
+    t_low = []
+    carry = None
+    for k in range(NLIMBS):
+        acc = t_cols[k] if carry is None else t_cols[k] + carry
+        t_low.append(acc & _MASK)
+        carry = acc >> LIMB_BITS
+    c8 = carry
+
+    m_cols = [None] * NLIMBS
+    for i in range(NLIMBS):
+        for j in range(NLIMBS - i):
+            prod = t_low[i] * _NP_LIMBS[j]
+            k = i + j
+            l = prod & _MASK
+            m_cols[k] = l if m_cols[k] is None else m_cols[k] + l
+            if k + 1 < NLIMBS:
+                h = prod >> LIMB_BITS
+                m_cols[k + 1] = h if m_cols[k + 1] is None else m_cols[k + 1] + h
+    m_rows = []
+    carry = None
+    for k in range(NLIMBS):
+        acc = m_cols[k] if carry is None else m_cols[k] + carry
+        m_rows.append(acc & _MASK)
+        carry = acc >> LIMB_BITS
+
+    u_cols = [None] * (2 * NLIMBS + 1)
+    for i in range(NLIMBS):
+        for j in range(NLIMBS):
+            prod = m_rows[i] * _P_LIMBS[j]
+            k = i + j
+            l = prod & _MASK
+            h = prod >> LIMB_BITS
+            u_cols[k] = l if u_cols[k] is None else u_cols[k] + l
+            u_cols[k + 1] = h if u_cols[k + 1] is None else u_cols[k + 1] + h
+    zero = jnp.zeros_like(ar[0])
+    for k in range(2 * NLIMBS + 1):
+        if u_cols[k] is None:
+            u_cols[k] = zero
+    for k in range(NLIMBS):
+        u_cols[k] = u_cols[k] + t_low[k]
+    for k in range(NLIMBS, 2 * NLIMBS + 1):
+        u_cols[k] = u_cols[k] + t_cols[k] if t_cols[k] is not None else u_cols[k]
+    u_cols[NLIMBS] = u_cols[NLIMBS] + c8
+
+    u_limbs = []
+    carry = None
+    for k in range(2 * NLIMBS + 1):
+        acc = u_cols[k] if carry is None else u_cols[k] + carry
+        u_limbs.append(acc & _MASK)
+        carry = acc >> LIMB_BITS
+    r = u_limbs[NLIMBS : 2 * NLIMBS]
+    overflow = u_limbs[2 * NLIMBS] + carry
+
+    d = []
+    borrow = None
+    for k in range(NLIMBS):
+        tmp = r[k] + _ONE16 - _P_LIMBS[k]
+        if borrow is not None:
+            tmp = tmp - borrow
+        d.append(tmp & _MASK)
+        borrow = _ONE - (tmp >> LIMB_BITS)
+    ge = jnp.logical_or(overflow.astype(bool), borrow == 0)
+    return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
+
+
+def _mm_kernel(a_ref, b_ref, o_ref):
+    ar = [a_ref[0, k, :] for k in range(NLIMBS)]
+    br = [b_ref[0, k, :] for k in range(NLIMBS)]
+    rr = _mont_mul_block(ar, br)
+    o_ref[0, :, :] = jnp.stack(rr, axis=0)
+
+
+@jax.jit
+def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pallas Montgomery multiply; inputs (..., NLIMBS, n) with n a
+    multiple of BLOCK (caller guarantees)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a, b = jnp.broadcast_arrays(jnp.asarray(a, jnp.uint32), jnp.asarray(b, jnp.uint32))
+    shape = a.shape
+    n = shape[-1]
+    batch = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
+    a3 = a.reshape(batch, NLIMBS, n)
+    b3 = b.reshape(batch, NLIMBS, n)
+
+    grid = (batch, n // BLOCK)
+    spec = pl.BlockSpec(
+        (1, NLIMBS, BLOCK), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _mm_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, NLIMBS, n), jnp.uint32),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+    )(a3, b3)
+    return out.reshape(shape)
+
+
+def pallas_available() -> bool:
+    import os
+
+    if os.environ.get("STARK_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
