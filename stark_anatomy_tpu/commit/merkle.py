@@ -94,3 +94,59 @@ class Merkle:
     @staticmethod
     def verify(root: bytes, index: int, path: List[bytes], data_element) -> bool:
         return MerkleTree.verify_path(root, index, path, hash_leaf(bytes(data_element)))
+
+
+def open_multi(tree: MerkleTree, indices) -> List[bytes]:
+    """Minimal batched authentication proof for a SET of leaf indices.
+
+    Per-index paths repeat shared upper-tree digests; for the STARK's
+    hundreds of linked openings per commitment that is the dominant proof
+    cost (the reference pays it in full: fast_stark.py:154-177).  The
+    multiproof walks level by level, emitting only siblings that cannot be
+    recomputed from below, in a canonical (sorted-index) order the verifier
+    reproduces exactly.
+    """
+    known = sorted(set(indices))
+    proof: List[bytes] = []
+    for level in tree.levels[:-1]:
+        known_set = set(known)
+        for i in known:
+            sib = i ^ 1
+            if sib not in known_set and i <= sib:
+                proof.append(level[sib].tobytes())
+            elif sib not in known_set and i > sib:
+                proof.append(level[sib].tobytes())
+        known = sorted({i >> 1 for i in known})
+    return proof
+
+
+def verify_multi(
+    root: bytes,
+    depth: int,
+    leaf_digests: dict,
+    proof: List[bytes],
+) -> bool:
+    """Verify a multiproof.  leaf_digests: {index: digest}."""
+    nodes = dict(leaf_digests)
+    pos = 0
+    for _ in range(depth):
+        known = sorted(nodes)
+        known_set = set(known)
+        parents = {}
+        for i in known:
+            if i ^ 1 in known_set and (i & 1):
+                continue  # handled with its even sibling
+            if i ^ 1 in known_set:
+                left, right = nodes[i], nodes[i | 1]
+            else:
+                if pos >= len(proof):
+                    return False
+                sib = proof[pos]
+                pos += 1
+                if i & 1:
+                    left, right = sib, nodes[i]
+                else:
+                    left, right = nodes[i], sib
+            parents[i >> 1] = hash_pair(left, right)
+        nodes = parents
+    return pos == len(proof) and nodes.get(0) == root

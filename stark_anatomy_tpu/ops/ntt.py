@@ -39,18 +39,29 @@ def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
         out     = where(bit m of j clear, out_lo, out_hi)
 
     which keeps every op in the (..., NLIMBS, n) layout the VPU likes.
+
+    The stage loop is a lax.scan over the per-stage half-size m, with the
+    stage twiddles GATHERED inside the scan from the shared power table
+    (index (j & (m-1)) * (n/2m)).  One Montgomery-multiply body is traced
+    regardless of log2(n) — an unrolled loop would inline the ~800-op
+    multiply log2(n) times and blow up XLA compile time.
     """
-    m = 1
-    while m < n:
-        # twiddles for blocks of size 2m: omega_{2m}^t = omega^{(n/2m)*t}
-        w = powers[:, :: n // (2 * m)][:, :m]                # (NLIMBS, m)
-        w_stage = jnp.tile(w, (1,) * (w.ndim - 1) + (n // m,))
-        mask = (jnp.arange(n, dtype=jnp.uint32) & m) == 0    # lower of pair
-        t = F.mont_mul(x, w_stage)
-        lo = F.add(x, jnp.roll(t, -m, axis=-1))
-        hi = F.sub(jnp.roll(x, m, axis=-1), t)
-        x = jnp.where(mask, lo, hi)
-        m *= 2
+    log_n = n.bit_length() - 1
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    ms = jnp.asarray([1 << s for s in range(log_n)], dtype=jnp.uint32)
+    half_n = jnp.uint32(n // 2)
+
+    def stage(x, m):
+        idx = (iota & (m - 1)) * (half_n // m)
+        w = jnp.take(powers, idx, axis=-1)                   # (NLIMBS, n)
+        mask = (iota & m) == 0                               # lower of pair
+        shift = m.astype(jnp.int32)
+        t = F.mont_mul(x, w)
+        lo = F.add(x, jnp.roll(t, -shift, axis=-1))
+        hi = F.sub(jnp.roll(x, shift, axis=-1), t)
+        return jnp.where(mask, lo, hi), None
+
+    x, _ = jax.lax.scan(stage, x, ms)
     return x
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..commit.hashing import hash_leaf
-from ..commit.merkle import MerkleTree
+from ..commit.merkle import MerkleTree, open_multi, verify_multi
 from ..field import ops as F
 from ..field.scalar import Field, FieldElement, P
 from ..ops import ntt as NTT
@@ -301,16 +301,17 @@ class FastStark(StarkParams):
         ]
         quadrupled = sorted(duplicated + [(i + N // 2) % N for i in duplicated])
 
+        # batched openings: per section, ONE value list + ONE multiproof
+        # (the reference pushes a full path per index, fast_stark.py:158-177)
         for s in range(R):
-            for i in quadrupled:
-                proof_stream.push(int_from_row(bq_np[s][i]))
-                proof_stream.push(bq_trees[s].open(i))
-        for i in quadrupled:
-            proof_stream.push(int_from_row(rand_np[i]))
-            proof_stream.push(rand_tree.open(i))
-        for i in quadrupled:
-            proof_stream.push(int_from_row(transition_zerofier.codeword_np[i]))
-            proof_stream.push(transition_zerofier.tree.open(i))
+            proof_stream.push([int_from_row(bq_np[s][i]) for i in quadrupled])
+            proof_stream.push(open_multi(bq_trees[s], quadrupled))
+        proof_stream.push([int_from_row(rand_np[i]) for i in quadrupled])
+        proof_stream.push(open_multi(rand_tree, quadrupled))
+        proof_stream.push(
+            [int_from_row(transition_zerofier.codeword_np[i]) for i in quadrupled]
+        )
+        proof_stream.push(open_multi(transition_zerofier.tree, quadrupled))
 
         return proof_stream.serialize()
 
@@ -354,40 +355,35 @@ class FastStark(StarkParams):
             indices + [(i + self.expansion_factor) % N for i in indices]
         )
 
+        depth = N.bit_length() - 1
+
+        def pull_section(root) -> Optional[Dict[int, int]]:
+            values = proof_stream.pull()
+            proof = proof_stream.pull()
+            if len(values) != len(duplicated):
+                return None
+            section = dict(zip(duplicated, values))
+            ld = {
+                i: hash_leaf(str(v).encode()) for i, v in section.items()
+            }
+            if not verify_multi(root, depth, ld, proof):
+                return None
+            return section
+
         leafs: List[Dict[int, int]] = []
         for r in range(R):
-            leafs.append({})
-            for i in duplicated:
-                leafs[r][i] = proof_stream.pull()
-                path = proof_stream.pull()
-                if not MerkleTree.verify_path(
-                    boundary_quotient_roots[r],
-                    i,
-                    path,
-                    hash_leaf(str(leafs[r][i]).encode()),
-                ):
-                    return False
-
-        randomizer: Dict[int, int] = {}
-        for i in duplicated:
-            randomizer[i] = proof_stream.pull()
-            path = proof_stream.pull()
-            if not MerkleTree.verify_path(
-                randomizer_root, i, path, hash_leaf(str(randomizer[i]).encode())
-            ):
+            section = pull_section(boundary_quotient_roots[r])
+            if section is None:
                 return False
+            leafs.append(section)
 
-        zerofier_leafs: Dict[int, int] = {}
-        for i in duplicated:
-            zerofier_leafs[i] = proof_stream.pull()
-            path = proof_stream.pull()
-            if not MerkleTree.verify_path(
-                transition_zerofier_root,
-                i,
-                path,
-                hash_leaf(str(zerofier_leafs[i]).encode()),
-            ):
-                return False
+        randomizer = pull_section(randomizer_root)
+        if randomizer is None:
+            return False
+
+        zerofier_leafs = pull_section(transition_zerofier_root)
+        if zerofier_leafs is None:
+            return False
 
         zerofiers = self.boundary_zerofiers(boundary)
         interpolants = self.boundary_interpolants(boundary)

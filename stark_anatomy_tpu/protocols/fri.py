@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..commit.merkle import MerkleTree
+from ..commit.merkle import MerkleTree, open_multi, verify_multi
 from ..field import ops as F
 from ..field.scalar import Field, P
 from ..ops.domain import mont_const, power_table
@@ -182,10 +182,10 @@ class Fri:
                     int_from_row(next_layer[c_indices[s]]),
                 )
             )
-        for s in range(self.num_colinearity_tests):
-            proof_stream.push(current_tree.open(a_indices[s]))
-            proof_stream.push(current_tree.open(b_indices[s]))
-            proof_stream.push(next_tree.open(c_indices[s]))
+        # batched authentication: one multiproof per layer instead of the
+        # reference's three per test (fri.py:107-111)
+        proof_stream.push(open_multi(current_tree, a_indices + b_indices))
+        proof_stream.push(open_multi(next_tree, c_indices))
         return a_indices + b_indices
 
     def prove(self, codeword: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
@@ -281,24 +281,24 @@ class Fri:
                 if lhs != rhs:
                     return False
 
-            for i in range(self.num_colinearity_tests):
-                from ..commit.hashing import hash_leaf
+            from ..commit.hashing import hash_leaf
 
-                path = proof_stream.pull()
-                if not MerkleTree.verify_path(
-                    roots[r], a_indices[i], path, hash_leaf(str(aa[i]).encode())
-                ):
-                    return False
-                path = proof_stream.pull()
-                if not MerkleTree.verify_path(
-                    roots[r], b_indices[i], path, hash_leaf(str(bb[i]).encode())
-                ):
-                    return False
-                path = proof_stream.pull()
-                if not MerkleTree.verify_path(
-                    roots[r + 1], c_indices[i], path, hash_leaf(str(cc[i]).encode())
-                ):
-                    return False
+            depth_cur = (self.domain_length >> r).bit_length() - 1
+            depth_next = depth_cur - 1
+            ld_cur = {}
+            for i in range(self.num_colinearity_tests):
+                ld_cur[a_indices[i]] = hash_leaf(str(aa[i]).encode())
+                ld_cur[b_indices[i]] = hash_leaf(str(bb[i]).encode())
+            proof_cur = proof_stream.pull()
+            if not verify_multi(roots[r], depth_cur, ld_cur, proof_cur):
+                return False
+            ld_next = {
+                c_indices[i]: hash_leaf(str(cc[i]).encode())
+                for i in range(self.num_colinearity_tests)
+            }
+            proof_next = proof_stream.pull()
+            if not verify_multi(roots[r + 1], depth_next, ld_next, proof_next):
+                return False
 
             omega = omega * omega % P
             offset = offset * offset % P

@@ -272,13 +272,15 @@ class Stark(StarkParams):
         ]
         quadrupled_indices.sort()
 
+        from ..commit.merkle import open_multi
+
         for s in range(self.num_registers):
-            for i in quadrupled_indices:
-                proof_stream.push(boundary_quotient_codewords[s][i])
-                proof_stream.push(boundary_quotient_trees[s].open(i))
-        for i in quadrupled_indices:
-            proof_stream.push(randomizer_codeword[i])
-            proof_stream.push(randomizer_tree.open(i))
+            proof_stream.push(
+                [boundary_quotient_codewords[s][i] for i in quadrupled_indices]
+            )
+            proof_stream.push(open_multi(boundary_quotient_trees[s], quadrupled_indices))
+        proof_stream.push([randomizer_codeword[i] for i in quadrupled_indices])
+        proof_stream.push(open_multi(randomizer_tree, quadrupled_indices))
 
         return proof_stream.serialize()
 
@@ -324,30 +326,33 @@ class Stark(StarkParams):
             + [(i + self.expansion_factor) % self.fri.domain_length for i in indices]
         )
 
+        from ..commit.merkle import verify_multi
+
+        depth = self.fri.domain_length.bit_length() - 1
+
+        def pull_section(root):
+            values = proof_stream.pull()
+            proof = proof_stream.pull()
+            if len(values) != len(duplicated_indices):
+                return None
+            section = dict(zip(duplicated_indices, values))
+            ld = {i: hash_leaf(str(v).encode()) for i, v in section.items()}
+            if not verify_multi(root, depth, ld, proof):
+                return None
+            return section
+
         # boundary quotient leaves
         leafs = []
         for r in range(len(boundary_quotient_roots)):
-            leafs.append({})
-            for i in duplicated_indices:
-                leafs[r][i] = proof_stream.pull()
-                path = proof_stream.pull()
-                if not MerkleTree.verify_path(
-                    boundary_quotient_roots[r],
-                    i,
-                    path,
-                    hash_leaf(str(leafs[r][i]).encode()),
-                ):
-                    return False
+            section = pull_section(boundary_quotient_roots[r])
+            if section is None:
+                return False
+            leafs.append(section)
 
         # randomizer leaves
-        randomizer = {}
-        for i in duplicated_indices:
-            randomizer[i] = proof_stream.pull()
-            path = proof_stream.pull()
-            if not MerkleTree.verify_path(
-                randomizer_root, i, path, hash_leaf(str(randomizer[i]).encode())
-            ):
-                return False
+        randomizer = pull_section(randomizer_root)
+        if randomizer is None:
+            return False
 
         # re-derive and check the combination at each queried index
         zerofiers = self.boundary_zerofiers(boundary)
