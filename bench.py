@@ -83,7 +83,7 @@ def main():
         from stark_anatomy_tpu.ops import ntt as NTT
 
         n = 1 << 20
-        x = jnp.zeros((n, 8), dtype=jnp.uint32).at[:, 0].set(1)
+        x = jnp.zeros((8, n), dtype=jnp.uint32).at[0, :].set(1)
         NTT.ntt(x).block_until_ready()  # compile
         t0 = time.time()
         reps = 5

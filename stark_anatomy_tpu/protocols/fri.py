@@ -48,6 +48,17 @@ def _fold_kernel(codeword, u, alpha, two_inv):
 
 
 @jax.jit
+def _fold_kernel_batched(codeword, u, alpha, two_inv):
+    """Fold a BATCH of codewords (B, NLIMBS, N) with per-proof alphas
+    (B, NLIMBS, 1); u is shared (NLIMBS, N/2)."""
+    half = codeword.shape[-1] // 2
+    a, b = codeword[..., :half], codeword[..., half:]
+    s = F.add(a, b)
+    d = F.mont_mul(F.mont_mul(alpha, u), F.sub(a, b))
+    return F.mont_mul(two_inv, F.add(s, d))
+
+
+@jax.jit
 def _square_half(u):
     half = u.shape[-1] // 2
     return F.mont_mul(u[..., :half], u[..., :half])
