@@ -32,19 +32,10 @@ def main():
         pass
     log("devices:", jax.devices())
 
-    from stark_anatomy_tpu.models.rescue_prime import make_air_evaluator
     from stark_anatomy_tpu.models.rpsss import FastRPSSS
 
     t0 = time.time()
-    scheme = FastRPSSS()
-    air_eval = make_air_evaluator(scheme.stark)
-    # route the fast AIR evaluator through the instance
-    orig_prove = scheme.stark.prove
-
-    def prove_fast(trace, air, boundary, tz, ps=None):
-        return orig_prove(trace, air, boundary, tz, ps, air_evaluator=air_eval)
-
-    scheme.stark.prove = prove_fast
+    scheme = FastRPSSS()  # uses the device AIR evaluator + point AIR by default
     log(f"setup+preprocess: {time.time()-t0:.2f}s")
 
     sk, pk = scheme.keygen()

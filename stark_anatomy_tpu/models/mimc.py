@@ -1,0 +1,192 @@
+"""MiMC chain: the framework's scalable second AIR workload.
+
+The Rescue-Prime/RPSSS model (models/rescue_prime.py) pins the trace at 28
+cycles — the reference's only workload (rescue_prime.py:5-273).  This model
+has no reference analog: it exists to exercise the prover at LARGE trace
+lengths (the BASELINE target is a fast_stark proof at trace length 2^20),
+which is where the TPU design pays off.
+
+The computation is the MiMC-style cubing chain
+
+    x_{i+1} = x_i^3 + c          (c a fixed public field constant)
+
+— a verifiable-delay-function shape: inherently sequential to compute,
+cheap to constrain.  One register, one degree-3 transition constraint with
+CONSTANT coefficients (no round-constant interpolants), so the AIR stays
+trivially evaluable at any domain size, and both endpoints are public
+boundary conditions: the STARK here buys succinct verification of a long
+computation rather than zero-knowledge.
+
+Components mirror the Rescue model's structure: scalar forward/trace
+(correctness oracle), a jitted device trace generator (lax.scan over
+steps), a pointwise device AIR evaluator, and a scalar point evaluator for
+the verifier.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..field import ops as F
+from ..field.scalar import Field, FieldElement, P
+from ..ops.domain import mont_const
+from ..poly.multivariate import MPolynomial
+from ..protocols.fast_stark import FastStark
+from ..protocols.stark import Boundary
+
+# Fixed public chain constant: sampled once from a nothing-up-my-sleeve
+# string, pinned here as a literal so the AIR is stable across versions.
+MIMC_C = Field.main().sample(b"stark-anatomy-tpu/mimc-chain-constant/v1").value
+
+
+class MiMC:
+    """The MiMC cubing-chain workload over num_steps steps
+    (trace = num_steps + 1 cycles, 1 register)."""
+
+    m = 1
+
+    def __init__(self, num_steps: int):
+        self.num_steps = num_steps
+        self.field = Field.main()
+        self.c = FieldElement(MIMC_C, self.field)
+
+    # -- scalar semantics (the oracle) -----------------------------------
+    def forward(self, input_element: FieldElement) -> FieldElement:
+        x = input_element
+        for _ in range(self.num_steps):
+            x = x ** 3 + self.c
+        return x
+
+    def trace(self, input_element: FieldElement) -> List[List[FieldElement]]:
+        x = input_element
+        rows = [[x]]
+        for _ in range(self.num_steps):
+            x = x ** 3 + self.c
+            rows.append([x])
+        return rows
+
+    # -- AIR ---------------------------------------------------------------
+    def transition_constraints(self, omicron=None) -> List[MPolynomial]:
+        """next - cur^3 - c = 0; degree 3, constant coefficients.  The
+        omicron argument is accepted for interface parity with the Rescue
+        model but unused — no cycle-dependent constants."""
+        x, cur, nxt = MPolynomial.variables(3, self.field)
+        return [nxt - cur ** 3 - MPolynomial.constant(self.c)]
+
+    def boundary_constraints(
+        self, input_element: FieldElement, output_element: FieldElement
+    ) -> Boundary:
+        return [
+            (0, 0, input_element),
+            (self.num_steps, 0, output_element),
+        ]
+
+    # -- device kernels ------------------------------------------------------
+    def trace_columns(self, input_value: int) -> jnp.ndarray:
+        """Device trace generator: (1, NLIMBS, num_steps+1) Montgomery
+        columns, suitable for FastStark.prove(trace_columns=...).  A
+        lax.scan over the chain steps — the chain is sequential by design,
+        but each step is just two Montgomery multiplies."""
+        from ..utils.convert import device_from_ints
+
+        x0 = device_from_ints([input_value])            # (L, 1)
+        c = mont_const(self.c.value)
+        steps = self.num_steps
+
+        @jax.jit
+        def run(x0):
+            def step(x, _):
+                x3 = F.mont_mul(F.mont_mul(x, x), x)
+                nxt = F.add(x3, c)
+                return nxt, nxt
+
+            _, states = jax.lax.scan(step, x0, None, length=steps)
+            # states: (steps, L, 1) -> (L, steps); prepend x0
+            chain = jnp.concatenate([x0[None], states], axis=0)  # (steps+1, L, 1)
+            return jnp.moveaxis(chain[..., 0], 0, -1)[None]      # (1, L, steps+1)
+
+        return run(x0)
+
+    def air_evaluator(self):
+        """Pointwise device AIR: one constraint codeword,
+        next - cur^3 - c."""
+        c = mont_const(self.c.value)
+
+        def evaluator(x_lde, current, next_):
+            cur = current[..., 0, :, :]
+            nxt = next_[..., 0, :, :]
+            cur3 = F.mont_mul(F.mont_mul(cur, cur), cur)
+            return jnp.expand_dims(F.sub(F.sub(nxt, cur3), c), axis=-3)
+
+        return evaluator
+
+    def point_air(self):
+        """Scalar per-point AIR for the verifier."""
+        c = self.c
+
+        def evaluator(x, current, next_):
+            return [next_[0] - current[0] ** 3 - c]
+
+        return evaluator
+
+
+def make_stark(
+    num_steps: int,
+    expansion_factor: int = 4,
+    num_colinearity_checks: int = 64,
+    security_level: int = 128,
+) -> Tuple[MiMC, FastStark]:
+    """Convenience constructor: the MiMC workload plus a FastStark sized
+    for it."""
+    mimc = MiMC(num_steps)
+    stark = FastStark(
+        mimc.field,
+        expansion_factor,
+        num_colinearity_checks,
+        security_level,
+        mimc.m,
+        num_steps + 1,
+        transition_constraints_degree=3,
+    )
+    return mimc, stark
+
+
+def prove_chain(mimc: MiMC, stark: FastStark, input_element: FieldElement, tz=None):
+    """End-to-end: compute the chain on device, prove it.  Returns
+    (output_element, proof, transition_zerofier)."""
+    from ..utils.convert import ints_from_device
+
+    if tz is None:
+        tz = stark.preprocess()
+    cols = mimc.trace_columns(input_element.value)
+    output_value = ints_from_device(cols[0, :, -1:])[0]
+    output_element = FieldElement(output_value, mimc.field)
+    proof = stark.prove(
+        None,
+        mimc.transition_constraints(),
+        mimc.boundary_constraints(input_element, output_element),
+        tz,
+        air_evaluator=mimc.air_evaluator(),
+        trace_columns=cols,
+    )
+    return output_element, proof, tz
+
+
+def verify_chain(
+    mimc: MiMC,
+    stark: FastStark,
+    input_element: FieldElement,
+    output_element: FieldElement,
+    proof: bytes,
+    tz_root: bytes,
+) -> bool:
+    return stark.verify(
+        proof,
+        mimc.transition_constraints(),
+        mimc.boundary_constraints(input_element, output_element),
+        tz_root,
+        air_point_evaluator=mimc.point_air(),
+    )

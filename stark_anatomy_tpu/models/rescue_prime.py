@@ -241,6 +241,46 @@ def _rescue_air_kernel(trace_lde, next_lde, c1_lde, c2_lde, mds, mds_inv):
     return jnp.stack(outs, axis=-3)
 
 
+def make_point_air(stark):
+    """Scalar per-point AIR evaluator for the VERIFIER.
+
+    ``FastStark.verify`` evaluates the transition constraints at each query
+    point; the generic path goes through the symbolic :class:`MPolynomial`
+    constraints, whose ``rhs**3`` expansion has thousands of monomials —
+    seconds of host big-int work per proof.  This closure evaluates the
+    SAME constraints in factored form (two MDS combines, two cubings, and
+    2m degree-(N_ROUNDS-1) Horner evaluations of the round-constant
+    interpolants): ~120 field multiplies per point.  Pass as
+    ``air_point_evaluator=`` to FastStark.verify.
+    """
+    rp = RescuePrime()
+    omicron = stark.omicron
+    domain = [omicron ** r for r in range(rp.N)]
+    first, second = [], []
+    for i in range(rp.m):
+        vals1 = [rp.round_constants[2 * r * rp.m + i] for r in range(rp.N)]
+        vals2 = [rp.round_constants[2 * r * rp.m + rp.m + i] for r in range(rp.N)]
+        first.append(Polynomial.interpolate_domain(domain, vals1))
+        second.append(Polynomial.interpolate_domain(domain, vals2))
+
+    def evaluator(x, current, next_):
+        c1 = [p.evaluate(x) for p in first]
+        c2 = [p.evaluate(x) for p in second]
+        inner = [next_[k] - c2[k] for k in range(rp.m)]
+        values = []
+        for i in range(rp.m):
+            lhs = c1[i]
+            for k in range(rp.m):
+                lhs = lhs + rp.MDS[i][k] * (current[k] ** rp.alpha)
+            rhs = rp.MDSinv[i][0] * inner[0]
+            for k in range(1, rp.m):
+                rhs = rhs + rp.MDSinv[i][k] * inner[k]
+            values.append(lhs - rhs ** rp.alpha)
+        return values
+
+    return evaluator
+
+
 def make_air_evaluator(stark):
     """Build a device AIR evaluator bound to a (Fast)Stark instance.
 

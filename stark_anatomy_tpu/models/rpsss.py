@@ -42,7 +42,11 @@ class RPSSS:
         )
 
     def _air(self):
-        return self.rp.transition_constraints(self.stark.omicron)
+        # symbolic constraints are proof-independent; the rhs**3 expansion
+        # is thousands of monomials, so build once per scheme instance
+        if not hasattr(self, "_air_cache"):
+            self._air_cache = self.rp.transition_constraints(self.stark.omicron)
+        return self._air_cache
 
     def stark_prove(self, input_element: FieldElement, proof_stream) -> bytes:
         output_element = self.rp.hash(input_element)
@@ -84,8 +88,16 @@ class FastRPSSS(RPSSS):
     def __init__(self):
         super().__init__()
         self.transition_zerofier = self.stark.preprocess()
+        self._air_evaluator = None
+        self._point_air = None
 
     def stark_prove(self, input_element: FieldElement, proof_stream) -> bytes:
+        from .rescue_prime import make_air_evaluator
+
+        if self._air_evaluator is None:
+            # pointwise device AIR (round-constant codewords cached on the
+            # FRI domain) instead of the generic symbolic compilation
+            self._air_evaluator = make_air_evaluator(self.stark)
         output_element = self.rp.hash(input_element)
         trace = self.rp.trace(input_element)
         return self.stark.prove(
@@ -94,9 +106,14 @@ class FastRPSSS(RPSSS):
             self.rp.boundary_constraints(output_element),
             self.transition_zerofier,
             proof_stream,
+            air_evaluator=self._air_evaluator,
         )
 
     def stark_verify(self, output_element, stark_proof, document) -> bool:
+        from .rescue_prime import make_point_air
+
+        if self._point_air is None:
+            self._point_air = make_point_air(self.stark)
         boundary = self.rp.boundary_constraints(output_element)
         return self.stark.verify(
             stark_proof,
@@ -106,4 +123,5 @@ class FastRPSSS(RPSSS):
             proof_stream_factory=lambda proof: SignatureProofStream.deserialize_with_document(
                 proof, document
             ),
+            air_point_evaluator=self._point_air,
         )

@@ -77,8 +77,7 @@ class FastStark(StarkParams):
         from ..utils.convert import canonical_np
 
         pts = [
-            (self.omicron ** i).value
-            for i in range(self.original_trace_length - 1)
+            e.value for e in self.omicron_powers(self.original_trace_length - 1)
         ]
         if len(pts) <= 2048:
             # small domains: host big-int accumulation avoids compiling a
@@ -109,7 +108,7 @@ class FastStark(StarkParams):
         # Z_n: zerofier of the first n omicron-domain points
         from ..poly.host_ntt import host_zerofier
 
-        pts = [(self.omicron ** i).value for i in range(n)]
+        pts = [e.value for e in self.omicron_powers(n)]
         if n <= 2048:
             zn = device_from_ints(host_zerofier(pts))          # (n+1, L)
         else:
@@ -207,11 +206,18 @@ class FastStark(StarkParams):
         transition_zerofier: TransitionZerofier,
         proof_stream: Optional[ProofStream] = None,
         air_evaluator=None,
+        trace_columns=None,
     ) -> bytes:
         """Generate a proof.  ``air_evaluator``, if given, is a device
         function (x_lde, current, next_) -> (C, N, L) evaluating the
         transition constraints pointwise; otherwise the symbolic
-        constraints are compiled generically."""
+        constraints are compiled generically.
+
+        The trace may be supplied either as host rows (``trace``, the
+        reference's interface) or as ``trace_columns`` — an (R, L, n_cycles)
+        Montgomery device array straight from a device trace generator
+        (e.g. models.mimc.trace_columns), skipping the host big-int
+        conversion that dominates at large trace lengths."""
         if proof_stream is None:
             proof_stream = ProofStream()
 
@@ -220,13 +226,29 @@ class FastStark(StarkParams):
         t = self._interp_tables()
 
         # randomized trace columns on device: (R, L, n)
-        rows = [[v.value for v in row] for row in trace] + [
+        rand_rows = [
             [self.field.sample(os.urandom(17)).value for _ in range(R)]
             for _ in range(self.num_randomizers)
         ]
-        columns = jnp.stack(
-            [device_from_ints([rows[c][s] for c in range(len(rows))]) for s in range(R)]
-        )
+        if trace_columns is not None:
+            n_cycles = trace_columns.shape[-1]
+            rand_cols = jnp.stack(
+                [
+                    device_from_ints([rand_rows[c][s] for c in range(len(rand_rows))])
+                    for s in range(R)
+                ]
+            )
+            columns = jnp.concatenate([trace_columns, rand_cols], axis=-1)
+            n_rows = n_cycles + self.num_randomizers
+        else:
+            rows = [[v.value for v in row] for row in trace] + rand_rows
+            columns = jnp.stack(
+                [
+                    device_from_ints([rows[c][s] for c in range(len(rows))])
+                    for s in range(R)
+                ]
+            )
+            n_rows = len(rows)
 
         # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
         # so trace(omicron * x) is a roll of the codeword)
@@ -272,7 +294,7 @@ class FastStark(StarkParams):
         # weighted combination, entirely pointwise: x^shift * q becomes
         # pow(x_lde, shift) (*) q
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
-        bq_bounds = self.boundary_quotient_degree_bounds(len(rows), boundary)
+        bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
         combo = F.mont_mul(mont_const(weights[0].value), rand_lde)
         w = 1
         for i in range(num_constraints):
@@ -325,7 +347,14 @@ class FastStark(StarkParams):
         boundary: Boundary,
         transition_zerofier_root: bytes,
         proof_stream_factory=None,
+        air_point_evaluator=None,
     ) -> bool:
+        """Verify a proof.  ``air_point_evaluator``, if given, is a scalar
+        function (x, current_trace, next_trace) -> constraint values used
+        in place of the symbolic ``MPolynomial.evaluate`` — models whose
+        constraints factor (e.g. Rescue's lhs - rhs**3,
+        models/rescue_prime.py:make_point_air) evaluate orders of magnitude
+        faster than their expanded monomial form."""
         original_trace_length = 1 + max(c for c, r, v in boundary)
         randomized_trace_length = original_trace_length + self.num_randomizers
 
@@ -413,10 +442,15 @@ class FastStark(StarkParams):
                     + interpolants[s].evaluate(domain_next)
                 )
 
-            point = [domain_current] + current_trace + next_trace
-            transition_values = [
-                tc.evaluate(point) for tc in transition_constraints
-            ]
+            if air_point_evaluator is not None:
+                transition_values = air_point_evaluator(
+                    domain_current, current_trace, next_trace
+                )
+            else:
+                point = [domain_current] + current_trace + next_trace
+                transition_values = [
+                    tc.evaluate(point) for tc in transition_constraints
+                ]
 
             terms: List[FieldElement] = [
                 FieldElement(randomizer[current_index], self.field)

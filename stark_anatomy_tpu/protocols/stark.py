@@ -72,9 +72,7 @@ class StarkParams:
         self.generator = self.field.generator()
         self.omega = self.field.primitive_nth_root(self.fri_domain_length)
         self.omicron = self.field.primitive_nth_root(self.omicron_domain_length)
-        self.omicron_domain = [
-            self.omicron ** i for i in range(self.omicron_domain_length)
-        ]
+        self._omicron_domain = None
 
         self.fri = Fri(
             self.generator.value,
@@ -83,6 +81,26 @@ class StarkParams:
             self.expansion_factor,
             self.num_colinearity_checks,
         )
+
+    @property
+    def omicron_domain(self) -> List[FieldElement]:
+        """The full omicron domain, built lazily by iterated multiplication
+        (one modular multiply per element, not one modpow per element —
+        at 2^20-cycle traces that's the difference between seconds and
+        minutes)."""
+        if self._omicron_domain is None:
+            self._omicron_domain = self.omicron_powers(self.omicron_domain_length)
+        return self._omicron_domain
+
+    def omicron_powers(self, count: int) -> List[FieldElement]:
+        """[omicron^0 .. omicron^(count-1)] by iterated multiplication."""
+        acc = 1
+        w = self.omicron.value
+        out = []
+        for _ in range(count):
+            out.append(FieldElement(acc, self.field))
+            acc = acc * w % self.field.p
+        return out
 
     # -- degree bookkeeping (reference: stark.py:35-68) ----------------------
     def transition_degree_bounds(self, transition_constraints: Sequence[MPolynomial]):

@@ -1,0 +1,79 @@
+"""MiMC chain model: device/scalar equivalence + end-to-end proofs.
+
+No reference analog — this is the framework's large-trace workload
+(models/mimc.py); small parameters here keep the suite fast, the full-size
+run lives behind the slow marker / bench harness.
+"""
+
+import random
+
+from stark_anatomy_tpu.field.scalar import Field, FieldElement, P
+from stark_anatomy_tpu.models.mimc import (
+    MiMC,
+    make_stark,
+    prove_chain,
+    verify_chain,
+)
+from stark_anatomy_tpu.utils.convert import ints_from_device
+
+FIELD = Field.main()
+RNG = random.Random(0x11C)
+
+
+def _small_stark(num_steps):
+    return make_stark(
+        num_steps, expansion_factor=4, num_colinearity_checks=4, security_level=8
+    )
+
+
+def test_device_trace_matches_scalar():
+    mimc = MiMC(17)
+    x = FieldElement(RNG.randrange(P), FIELD)
+    cols = mimc.trace_columns(x.value)
+    assert cols.shape[0] == 1 and cols.shape[-1] == 18
+    got = ints_from_device(cols[0])
+    want = [row[0].value for row in mimc.trace(x)]
+    assert got == want
+    assert mimc.forward(x).value == want[-1]
+
+
+def test_point_air_matches_symbolic():
+    mimc = MiMC(4)
+    air = mimc.transition_constraints()
+    pe = mimc.point_air()
+    for _ in range(4):
+        x = FieldElement(RNG.randrange(P), FIELD)
+        cur = [FieldElement(RNG.randrange(P), FIELD)]
+        nxt = [FieldElement(RNG.randrange(P), FIELD)]
+        want = [tc.evaluate([x] + cur + nxt).value for tc in air]
+        got = [v.value for v in pe(x, cur, nxt)]
+        assert got == want
+
+
+def test_prove_verify_roundtrip():
+    mimc, stark = _small_stark(15)
+    x = FieldElement(RNG.randrange(P), FIELD)
+    output, proof, tz = prove_chain(mimc, stark, x)
+    assert output.value == mimc.forward(x).value
+    assert verify_chain(mimc, stark, x, output, proof, tz.root)
+
+    # wrong output boundary must be rejected
+    bad = output + FIELD.one()
+    assert not verify_chain(mimc, stark, x, bad, proof, tz.root)
+
+    # wrong input boundary must be rejected
+    bad_in = x + FIELD.one()
+    assert not verify_chain(mimc, stark, bad_in, output, proof, tz.root)
+
+
+def test_proof_tampering_rejected():
+    mimc, stark = _small_stark(15)
+    x = FieldElement(RNG.randrange(P), FIELD)
+    output, proof, tz = prove_chain(mimc, stark, x)
+    mutated = bytearray(proof)
+    mutated[len(mutated) // 2] ^= 0x01
+    try:
+        ok = verify_chain(mimc, stark, x, output, bytes(mutated), tz.root)
+    except Exception:
+        ok = False  # a decode error is an acceptable rejection
+    assert not ok

@@ -97,3 +97,22 @@ def test_device_trace_matches_scalar():
         got = ints_from_device(traces[..., b : b + 1])
         flat_want = [cell.value for row in want for cell in row]
         assert got == flat_want
+
+
+def test_point_air_matches_symbolic():
+    """make_point_air (the verifier's factored evaluator) must agree with
+    the symbolic MPolynomial constraints at random points."""
+    from stark_anatomy_tpu.models.rescue_prime import make_point_air
+    from stark_anatomy_tpu.protocols.stark import StarkParams
+
+    rp = RescuePrime()
+    stark = StarkParams(FIELD, 4, 64, 128, rp.m, rp.N + 1, transition_constraints_degree=3)
+    air = rp.transition_constraints(stark.omicron)
+    evaluator = make_point_air(stark)
+    for _ in range(4):
+        x = FieldElement(RNG.randrange(P), FIELD)
+        cur = [FieldElement(RNG.randrange(P), FIELD) for _ in range(rp.m)]
+        nxt = [FieldElement(RNG.randrange(P), FIELD) for _ in range(rp.m)]
+        want = [tc.evaluate([x] + cur + nxt).value for tc in air]
+        got = [v.value for v in evaluator(x, cur, nxt)]
+        assert got == want
