@@ -111,11 +111,8 @@ def open_multi(tree: MerkleTree, indices) -> List[bytes]:
     for level in tree.levels[:-1]:
         known_set = set(known)
         for i in known:
-            sib = i ^ 1
-            if sib not in known_set and i <= sib:
-                proof.append(level[sib].tobytes())
-            elif sib not in known_set and i > sib:
-                proof.append(level[sib].tobytes())
+            if i ^ 1 not in known_set:
+                proof.append(level[i ^ 1].tobytes())
         known = sorted({i >> 1 for i in known})
     return proof
 

@@ -23,6 +23,7 @@ kernel of the whole framework.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import jax
@@ -38,6 +39,21 @@ _P_LIMBS = [np.uint32(v) for v in int_to_limbs(P)]
 _NP_LIMBS = [np.uint32(v) for v in int_to_limbs(NPRIME)]
 _ONE16 = np.uint32(1 << LIMB_BITS)
 _ONE = np.uint32(1)
+
+
+def _use_compact() -> bool:
+    """Pick the mont_mul lowering at trace time.
+
+    The fully-unrolled row form below fuses beautifully on TPU but its
+    ~900-op graph makes XLA:CPU compile time explode when the prover core
+    instantiates it dozens of times.  On CPU we therefore trace a compact
+    tensorized form (~40 ops: outer product + constant-matrix column sums
+    + lax.scan carry chains) that computes the identical function.
+    """
+    env = os.environ.get("STARK_TPU_COMPACT_MUL")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "cpu"
 
 
 def _rows(a: jnp.ndarray) -> List[jnp.ndarray]:
@@ -131,13 +147,84 @@ def _cond_sub_p_rows(r: List[jnp.ndarray], overflow: jnp.ndarray) -> List[jnp.nd
     return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
 
 
+# ---------------------------------------------------------------------------
+# Compact (small-graph) Montgomery multiply — the CPU lowering.
+#
+# Column sums over limb products are expressed as one integer einsum with a
+# constant 0/1 matrix (k = i+j for the low halves, k = i+j+1 for the highs);
+# carry propagation is a lax.scan over the limb axis.  Bounds: every column
+# accumulates at most 16 values < 2^16 plus a small carry, well inside u32.
+# ---------------------------------------------------------------------------
+
+_S_LO = np.zeros((2 * NLIMBS + 1, NLIMBS * NLIMBS), dtype=np.uint32)
+_S_HI = np.zeros((2 * NLIMBS + 1, NLIMBS * NLIMBS), dtype=np.uint32)
+for _i in range(NLIMBS):
+    for _j in range(NLIMBS):
+        _S_LO[_i + _j, _i * NLIMBS + _j] = 1
+        _S_HI[_i + _j + 1, _i * NLIMBS + _j] = 1
+_NP_COL = np.array(int_to_limbs(NPRIME), dtype=np.uint32)  # (NLIMBS,)
+_P_COL = np.array(int_to_limbs(P), dtype=np.uint32)
+
+
+def _carry_scan(cols: jnp.ndarray):
+    """Carry-propagate (..., K, n) column sums -> (limbs, carry (..., n))."""
+    xs = jnp.moveaxis(cols, -2, 0)
+
+    def step(carry, c):
+        acc = c + carry
+        return acc >> LIMB_BITS, acc & _MASK
+
+    carry, limbs = jax.lax.scan(step, jnp.zeros_like(xs[0]), xs)
+    return jnp.moveaxis(limbs, 0, -2), carry
+
+
+def _prod_cols(a: jnp.ndarray, b_col: jnp.ndarray, k_out: int) -> jnp.ndarray:
+    """Column sums of the double-width product of two limb tensors.
+
+    a: (..., NLIMBS, n); b_col either (..., NLIMBS, n) or a (NLIMBS,) constant.
+    Returns (..., k_out, n) uncarried columns.
+    """
+    if b_col.ndim == 1:
+        bb = b_col[:, None]
+        prod = a[..., :, None, :] * bb[None, :, :]
+    else:
+        prod = a[..., :, None, :] * b_col[..., None, :, :]
+    flat = prod.reshape(prod.shape[:-3] + (NLIMBS * NLIMBS, prod.shape[-1]))
+    lo = flat & _MASK
+    hi = flat >> LIMB_BITS
+    s_lo = jnp.asarray(_S_LO[:k_out])
+    s_hi = jnp.asarray(_S_HI[:k_out])
+    return jnp.einsum("kq,...qn->...kn", s_lo, lo) + jnp.einsum(
+        "kq,...qn->...kn", s_hi, hi
+    )
+
+
+def _mont_mul_compact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    t_cols = _prod_cols(a, b, 2 * NLIMBS + 1)                 # T = a*b
+    t_low, _ = _carry_scan(t_cols[..., :NLIMBS, :])           # T mod 2^128
+    m_cols = _prod_cols(t_low, jnp.asarray(_NP_COL), NLIMBS)  # m = T*N' mod R
+    m_rows, _ = _carry_scan(m_cols)
+    u_cols = _prod_cols(m_rows, jnp.asarray(_P_COL), 2 * NLIMBS + 1) + t_cols
+    u_limbs, final_carry = _carry_scan(u_cols)                # U = T + m*p
+    r = u_limbs[..., NLIMBS : 2 * NLIMBS, :]
+    overflow = u_limbs[..., 2 * NLIMBS, :] + final_carry
+    return _stack(_cond_sub_p_rows(_rows(r), overflow))
+
+
+def _mont_mul_core(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch between the TPU-fused row form and the compact CPU form."""
+    if _use_compact():
+        return _mont_mul_compact(a, b)
+    return _stack(_mont_mul_rows(_rows(a), _rows(b)))
+
+
 @jax.jit
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p over limb-first arrays."""
     a = jnp.asarray(a, _U32)
     b = jnp.asarray(b, _U32)
     a, b = jnp.broadcast_arrays(a, b)
-    return _stack(_mont_mul_rows(_rows(a), _rows(b)))
+    return _mont_mul_core(a, b)
 
 
 def _add_rows(ar, br):
@@ -164,12 +251,48 @@ def _sub_rows(ar, br):
     return out, borrow
 
 
-@jax.jit
-def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Field addition (encoding-agnostic: works in Montgomery form too)."""
+def _add_core(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
     s, carry = _add_rows(_rows(a), _rows(b))
     return _stack(_cond_sub_p_rows(s, carry))
+
+
+@jax.jit
+def add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Field addition (encoding-agnostic: works in Montgomery form too)."""
+    return _add_core(a, b)
+
+
+@jax.jit
+def field_sum(terms: jnp.ndarray) -> jnp.ndarray:
+    """Modular sum over the LEADING axis, via lax.scan.
+
+    IMPORTANT fusion note: a Python loop of ``add(acc, t)`` inside one jit
+    is a correctness-preserving but performance-catastrophic graph — each
+    add consumes ``acc`` through 8 per-limb slices, and XLA's loop fusion
+    recomputes the producer per consumer, giving ~8x runtime per chain
+    link (measured: 5 chained adds ~0.5s, 7 adds ~33s on CPU at N=512).
+    A scan keeps exactly one instance of the add body regardless of K.
+    """
+    if terms.shape[0] == 1:
+        return terms[0]
+
+    def step(acc, t):
+        return _add_core(acc, t), None
+
+    acc, _ = jax.lax.scan(step, terms[0], terms[1:])
+    return acc
+
+
+@jax.jit
+def weighted_sum(terms: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """sum_k weights[k] * terms[k] over the leading axis (Montgomery).
+
+    terms: (K, ..., NLIMBS, n); weights: (K, ..., NLIMBS, 1) broadcastable.
+    This is THE combination kernel (weighted codeword combination,
+    reference: fast_stark.py:130-145) in a fusion-safe, shardable form.
+    """
+    return field_sum(mont_mul(terms, weights))
 
 
 @jax.jit
@@ -207,18 +330,20 @@ def mont_zero(n: int = 1, batch=()) -> jnp.ndarray:
 @jax.jit
 def to_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Canonical limbs -> Montgomery form (multiply by R^2, reduce)."""
-    r2 = [np.uint32(v) for v in int_to_limbs(R * R % P)]
-    ar = _rows(jnp.asarray(a, _U32))
-    br = [jnp.broadcast_to(v, ar[0].shape) for v in r2]
-    return _stack(_mont_mul_rows(ar, br))
+    a = jnp.asarray(a, _U32)
+    r2 = np.array(int_to_limbs(R * R % P), dtype=np.uint32)[:, None]
+    b = jnp.broadcast_to(jnp.asarray(r2), a.shape)
+    return _mont_mul_core(a, b)
 
 
 @jax.jit
 def from_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical limbs (multiply by 1, reduce)."""
-    ar = _rows(jnp.asarray(a, _U32))
-    one = [jnp.broadcast_to(np.uint32(1 if k == 0 else 0), ar[0].shape) for k in range(NLIMBS)]
-    return _stack(_mont_mul_rows(ar, one))
+    a = jnp.asarray(a, _U32)
+    one = np.zeros((NLIMBS, 1), dtype=np.uint32)
+    one[0, 0] = 1
+    b = jnp.broadcast_to(jnp.asarray(one), a.shape)
+    return _mont_mul_core(a, b)
 
 
 def _pow_bits(exponent: int) -> np.ndarray:

@@ -24,6 +24,12 @@ from ..ops import ntt as NTT
 from ..protocols.fast_stark import FastStark
 
 
+def _bcast_shift(shift: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """(K, L, N) shift tables -> (K, 1..., L, N) matching ``like``'s rank."""
+    extra = like.ndim - shift.ndim
+    return shift.reshape(shift.shape[:1] + (1,) * extra + shift.shape[1:])
+
+
 def build_prover_core(stark: FastStark, air_constants):
     """Returns a jittable fn(sk_batch, randomizer_cols, weights) -> combo.
 
@@ -62,24 +68,24 @@ def build_prover_core(stark: FastStark, air_constants):
 
         rand_lde = NTT.coset_evaluate(rand_poly, stark.generator.value, N)
 
-        def wgt(i):
-            return weights[..., i, :, :]
-
-        combo = F.mont_mul(wgt(0), rand_lde)
-        w = 1
-        C = constraint.shape[-3]
-        for i in range(C):
-            combo = F.add(combo, F.mont_mul(wgt(w), tq_lde[..., i, :, :]))
-            w += 1
-            shifted = F.mont_mul(tq_shift_pows[i], tq_lde[..., i, :, :])
-            combo = F.add(combo, F.mont_mul(wgt(w), shifted))
-            w += 1
-        for s in range(R):
-            combo = F.add(combo, F.mont_mul(wgt(w), bq_lde[..., s, :, :]))
-            w += 1
-            shifted = F.mont_mul(bq_shift_pows[s], bq_lde[..., s, :, :])
-            combo = F.add(combo, F.mont_mul(wgt(w), shifted))
-            w += 1
-        return combo, bq_lde, rand_lde
+        # Weighted combination via the scan-based reduction kernel: a
+        # Python add-chain here made the whole jitted core exponentially
+        # slow at runtime on XLA:CPU (see field/ops.py:field_sum).
+        # Terms in transcript weight order: randomizer, per-constraint
+        # [tq, shifted tq], per-register [bq, shifted bq].
+        tq_t = jnp.moveaxis(tq_lde, -3, 0)                 # (C, ..., L, N)
+        bq_t = jnp.moveaxis(bq_lde, -3, 0)                 # (R, ..., L, N)
+        sh_tq = F.mont_mul(_bcast_shift(tq_shift_pows, tq_t), tq_t)
+        sh_bq = F.mont_mul(_bcast_shift(bq_shift_pows, bq_t), bq_t)
+        terms = jnp.concatenate([
+            rand_lde[None],
+            jnp.stack([tq_t, sh_tq], axis=1).reshape((-1,) + tq_t.shape[1:]),
+            jnp.stack([bq_t, sh_bq], axis=1).reshape((-1,) + bq_t.shape[1:]),
+        ])                                                  # (W, ..., L, N)
+        # weights (W, L, 1) or (B, W, L, 1) -> leading W axis, rank-matched
+        w_lead = jnp.moveaxis(weights, -3, 0)
+        while w_lead.ndim < terms.ndim:
+            w_lead = w_lead[:, None]
+        return F.weighted_sum(terms, w_lead), bq_lde, rand_lde
 
     return core

@@ -68,29 +68,23 @@ class BatchProver:
         return trace_lde, tq_lde, rand_lde
 
     def _phase2_impl(self, bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift):
-        """weights: (B, W, L, 1).  Returns combination codeword (B, L, N)."""
-        def wgt(i):
-            return weights[:, i]
+        """weights: (B, W, L, 1).  Returns combination codeword (B, L, N).
 
-        combo = F.mont_mul(wgt(0), rand_lde)
-        w = 1
-        C = tq_lde.shape[-3]
-        for i in range(C):
-            combo = F.add(combo, F.mont_mul(wgt(w), tq_lde[:, i]))
-            w += 1
-            combo = F.add(
-                combo, F.mont_mul(wgt(w), F.mont_mul(tq_shift[i], tq_lde[:, i]))
-            )
-            w += 1
-        R = bq_lde.shape[-3]
-        for s in range(R):
-            combo = F.add(combo, F.mont_mul(wgt(w), bq_lde[:, s]))
-            w += 1
-            combo = F.add(
-                combo, F.mont_mul(wgt(w), F.mont_mul(bq_shift[s], bq_lde[:, s]))
-            )
-            w += 1
-        return combo
+        Stacks all W terms (in the transcript's weight order: randomizer,
+        then per-constraint [tq, shifted tq], then per-register
+        [bq, shifted bq]) and reduces with F.weighted_sum — a lax.scan,
+        NOT a Python add-chain (see field/ops.py:field_sum fusion note).
+        """
+        tq_t = jnp.moveaxis(tq_lde, 1, 0)                     # (C, B, L, N)
+        bq_t = jnp.moveaxis(bq_lde, 1, 0)                     # (R, B, L, N)
+        sh_tq = F.mont_mul(tq_shift[:, None], tq_t)
+        sh_bq = F.mont_mul(bq_shift[:, None], bq_t)
+        terms = jnp.concatenate([
+            rand_lde[None],
+            jnp.stack([tq_t, sh_tq], axis=1).reshape((-1,) + tq_t.shape[1:]),
+            jnp.stack([bq_t, sh_bq], axis=1).reshape((-1,) + bq_t.shape[1:]),
+        ])                                                     # (W, B, L, N)
+        return F.weighted_sum(terms, jnp.moveaxis(weights, 1, 0))
 
     # ------------------------------------------------------------------
     def prove_batch(

@@ -112,7 +112,7 @@ def make_distributed_ntt(n: int, mesh: Mesh, axis: str = "sp", inverse: bool = F
     # per-shard layout (B/A, NLIMBS, A): batch-leading for mont_mul
     tw_all = jnp.transpose(tw_all, (1, 3, 0, 2))  # (S, B/A, NLIMBS, A)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def body_wrapper(x_local, tw_local):
         out = body(x_local, tw_local[0])
@@ -125,7 +125,7 @@ def make_distributed_ntt(n: int, mesh: Mesh, axis: str = "sp", inverse: bool = F
         mesh=mesh,
         in_specs=(P(None, axis), P(axis, None, None, None)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )
     tw_sharded = jax.device_put(
         tw_all, NamedSharding(mesh, P(axis, None, None, None))

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..commit.hashing import hash_leaf
 from ..commit.merkle import MerkleTree, open_multi, verify_multi
+from ..errors import MalformedProof, VerificationError, rejects_malformed
 from ..field import ops as F
 from ..field.scalar import Field, FieldElement, P
 from ..ops import ntt as NTT
@@ -292,27 +293,27 @@ class FastStark(StarkParams):
         )
 
         # weighted combination, entirely pointwise: x^shift * q becomes
-        # pow(x_lde, shift) (*) q
+        # pow(x_lde, shift) (*) q; all W terms stacked and reduced by the
+        # scan-based weighted_sum kernel (transcript weight order:
+        # randomizer, per-constraint [tq, shifted tq], per-register
+        # [bq, shifted bq] — reference: fast_stark.py:130-145)
         tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
         bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
-        combo = F.mont_mul(mont_const(weights[0].value), rand_lde)
-        w = 1
-        for i in range(num_constraints):
-            term = F.mont_mul(mont_const(weights[w].value), tq_lde[i])
-            combo = F.add(combo, term)
-            w += 1
-            shift = max_degree - tq_bounds[i]
-            shifted = F.mont_mul(F.mont_pow(t["x_lde"], shift), tq_lde[i])
-            combo = F.add(combo, F.mont_mul(mont_const(weights[w].value), shifted))
-            w += 1
-        for s in range(R):
-            term = F.mont_mul(mont_const(weights[w].value), bq_lde[s])
-            combo = F.add(combo, term)
-            w += 1
-            shift = max_degree - bq_bounds[s]
-            shifted = F.mont_mul(F.mont_pow(t["x_lde"], shift), bq_lde[s])
-            combo = F.add(combo, F.mont_mul(mont_const(weights[w].value), shifted))
-            w += 1
+        tq_shift = jnp.stack(
+            [F.mont_pow(t["x_lde"], max_degree - b) for b in tq_bounds]
+        )
+        bq_shift = jnp.stack(
+            [F.mont_pow(t["x_lde"], max_degree - b) for b in bq_bounds]
+        )
+        sh_tq = F.mont_mul(tq_shift, tq_lde)
+        sh_bq = F.mont_mul(bq_shift, bq_lde)
+        terms = jnp.concatenate([
+            rand_lde[None],
+            jnp.stack([tq_lde, sh_tq], axis=1).reshape((-1,) + tq_lde.shape[1:]),
+            jnp.stack([bq_lde, sh_bq], axis=1).reshape((-1,) + bq_lde.shape[1:]),
+        ])                                                    # (W, L, N)
+        w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
+        combo = F.weighted_sum(terms, w_dev)
 
         # FRI proof over the combination codeword
         indices = self.fri.prove(combo, proof_stream)
@@ -340,6 +341,7 @@ class FastStark(StarkParams):
     # ------------------------------------------------------------------
     # verifier (host scalar; mirrors reference fast_stark.py:180-286)
     # ------------------------------------------------------------------
+    @rejects_malformed
     def verify(
         self,
         proof: bytes,
@@ -364,8 +366,8 @@ class FastStark(StarkParams):
             proof_stream = proof_stream_factory(proof)
 
         R = self.num_registers
-        boundary_quotient_roots = [proof_stream.pull() for _ in range(R)]
-        randomizer_root = proof_stream.pull()
+        boundary_quotient_roots = [proof_stream.pull_typed(bytes) for _ in range(R)]
+        randomizer_root = proof_stream.pull_typed(bytes)
 
         weights = self.sample_weights(
             1 + 2 * len(transition_constraints) + 2 * R,
@@ -374,7 +376,7 @@ class FastStark(StarkParams):
 
         polynomial_values: List[Tuple[int, int]] = []
         if not self.fri.verify(proof_stream, polynomial_values):
-            return False
+            raise VerificationError(f"FRI rejected: {self.fri.last_rejection}")
         polynomial_values.sort(key=lambda iv: iv[0])
         indices = [i for i, v in polynomial_values]
         values = [v for i, v in polynomial_values]
@@ -386,33 +388,29 @@ class FastStark(StarkParams):
 
         depth = N.bit_length() - 1
 
-        def pull_section(root) -> Optional[Dict[int, int]]:
-            values = proof_stream.pull()
-            proof = proof_stream.pull()
-            if len(values) != len(duplicated):
-                return None
+        def pull_section(root, what: str) -> Dict[int, int]:
+            values = proof_stream.pull_typed(list)
+            proof = proof_stream.pull_typed(list)
+            if len(values) != len(duplicated) or not all(
+                isinstance(v, int) for v in values
+            ):
+                raise MalformedProof(f"{what}: bad opened-values section")
             section = dict(zip(duplicated, values))
             ld = {
                 i: hash_leaf(str(v).encode()) for i, v in section.items()
             }
             if not verify_multi(root, depth, ld, proof):
-                return None
+                raise VerificationError(f"{what}: Merkle multiproof failed")
             return section
 
         leafs: List[Dict[int, int]] = []
         for r in range(R):
-            section = pull_section(boundary_quotient_roots[r])
-            if section is None:
-                return False
-            leafs.append(section)
+            leafs.append(
+                pull_section(boundary_quotient_roots[r], f"boundary quotient {r}")
+            )
 
-        randomizer = pull_section(randomizer_root)
-        if randomizer is None:
-            return False
-
-        zerofier_leafs = pull_section(transition_zerofier_root)
-        if zerofier_leafs is None:
-            return False
+        randomizer = pull_section(randomizer_root, "randomizer")
+        zerofier_leafs = pull_section(transition_zerofier_root, "transition zerofier")
 
         zerofiers = self.boundary_zerofiers(boundary)
         interpolants = self.boundary_interpolants(boundary)
@@ -471,7 +469,14 @@ class FastStark(StarkParams):
                 self.field.zero(),
             )
             if combination.value != values[i]:
-                return False
+                raise VerificationError(
+                    f"combination mismatch at query index {current_index}"
+                )
+
+        # anti-malleability: every transcript object must have been consumed
+        # (trailing junk would give distinct valid encodings of one proof)
+        if proof_stream.read_index != len(proof_stream.objects):
+            raise MalformedProof("trailing transcript objects")
 
         return True
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..commit.merkle import MerkleTree, open_multi, verify_multi
+from ..errors import MalformedProof, VerificationError, rejects_malformed
 from ..field import ops as F
 from ..field.scalar import Field, P
 from ..ops.domain import mont_const, power_table
@@ -226,32 +227,46 @@ class Fri:
         return top_level_indices
 
     # -- verifier (host scalar) ----------------------------------------------
+    @rejects_malformed
     def verify(
         self, proof_stream: ProofStream, polynomial_values: List[Tuple[int, int]]
     ) -> bool:
+        """Returns True iff the proof verifies.  Never raises on malformed
+        transcripts: any rejection (structural or cryptographic) returns
+        False with the reason recorded on ``self.last_rejection``."""
         omega = self.omega
         offset = self.offset
 
         roots: List[bytes] = []
         alphas: List[int] = []
         for _ in range(self.num_rounds()):
-            roots.append(proof_stream.pull())
+            roots.append(proof_stream.pull_typed(bytes))
             alphas.append(
                 self.field.sample(proof_stream.verifier_fiat_shamir()).value
             )
 
-        last_codeword: List[int] = proof_stream.pull()
+        last_codeword: List[int] = proof_stream.pull_typed(list)
+        if not all(isinstance(v, int) for v in last_codeword):
+            raise MalformedProof("last codeword is not a list of ints")
         if roots[-1] != MerkleTree(leaf_bytes(last_codeword)).root:
-            return False
+            raise VerificationError("last codeword does not match its root")
 
         degree = (len(last_codeword) // self.expansion_factor) - 1
         last_omega, last_offset = omega, offset
         for _ in range(self.num_rounds() - 1):
             last_omega = last_omega * last_omega % P
             last_offset = last_offset * last_offset % P
-        assert pow(last_omega, len(last_codeword), P) == 1, (
-            "omega does not have right order"
-        )
+        # reachable from attacker-controlled bytes via len(last_codeword):
+        # structured rejection, NOT an assert (reference asserts, fri.py:157)
+        if len(last_codeword) == 0 or (
+            len(last_codeword) & (len(last_codeword) - 1)
+        ) != 0:
+            raise MalformedProof("last codeword length is not a power of two")
+        if pow(last_omega, len(last_codeword), P) != 1:
+            raise VerificationError(
+                "last codeword length inconsistent with round structure "
+                "(omega order mismatch)"
+            )
 
         # Low-degree check of the last codeword via host NTT (the reference
         # used O(n^2) Lagrange here, fri.py:163-174; docs/faster.md:450-461
@@ -260,7 +275,9 @@ class Fri:
         # coefficients are zero, so checking q's degree suffices.
         coeffs = intt_ints(last_codeword, last_omega)
         if any(c != 0 for c in coeffs[degree + 1 :]):
-            return False
+            raise VerificationError(
+                f"last codeword is not low-degree (> {degree})"
+            )
 
         top_level_indices = self.sample_indices(
             proof_stream.verifier_fiat_shamir(),
@@ -276,7 +293,12 @@ class Fri:
 
             aa, bb, cc = [], [], []
             for s in range(self.num_colinearity_tests):
-                ay, by, cy = proof_stream.pull()
+                leaf_group = proof_stream.pull_typed(tuple)
+                if len(leaf_group) != 3 or not all(
+                    isinstance(v, int) for v in leaf_group
+                ):
+                    raise MalformedProof("FRI leaf group is not 3 ints")
+                ay, by, cy = leaf_group
                 aa.append(ay)
                 bb.append(by)
                 cc.append(cy)
@@ -290,7 +312,9 @@ class Fri:
                 lhs = (by - ay) * (cx - ax) % P
                 rhs = (cy - ay) * (bx - ax) % P
                 if lhs != rhs:
-                    return False
+                    raise VerificationError(
+                        f"colinearity check failed (round {r}, test {s})"
+                    )
 
             from ..commit.hashing import hash_leaf
 
@@ -300,16 +324,20 @@ class Fri:
             for i in range(self.num_colinearity_tests):
                 ld_cur[a_indices[i]] = hash_leaf(str(aa[i]).encode())
                 ld_cur[b_indices[i]] = hash_leaf(str(bb[i]).encode())
-            proof_cur = proof_stream.pull()
+            proof_cur = proof_stream.pull_typed(list)
             if not verify_multi(roots[r], depth_cur, ld_cur, proof_cur):
-                return False
+                raise VerificationError(
+                    f"Merkle multiproof failed (round {r}, current layer)"
+                )
             ld_next = {
                 c_indices[i]: hash_leaf(str(cc[i]).encode())
                 for i in range(self.num_colinearity_tests)
             }
-            proof_next = proof_stream.pull()
+            proof_next = proof_stream.pull_typed(list)
             if not verify_multi(roots[r + 1], depth_next, ld_next, proof_next):
-                return False
+                raise VerificationError(
+                    f"Merkle multiproof failed (round {r}, next layer)"
+                )
 
             omega = omega * omega % P
             offset = offset * offset % P

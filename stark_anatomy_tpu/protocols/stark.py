@@ -19,6 +19,7 @@ from functools import reduce
 from hashlib import blake2b
 from typing import List, Optional, Sequence, Tuple
 
+from ..errors import MalformedProof, VerificationError, rejects_malformed
 from ..field.scalar import Field, FieldElement, P
 from ..poly.multivariate import MPolynomial
 from ..poly.univariate import Polynomial
@@ -302,6 +303,7 @@ class Stark(StarkParams):
 
         return proof_stream.serialize()
 
+    @rejects_malformed
     def verify(
         self,
         proof: bytes,
@@ -321,9 +323,9 @@ class Stark(StarkParams):
             proof_stream = proof_stream_factory(proof)
 
         boundary_quotient_roots = [
-            proof_stream.pull() for _ in range(self.num_registers)
+            proof_stream.pull_typed(bytes) for _ in range(self.num_registers)
         ]
-        randomizer_root = proof_stream.pull()
+        randomizer_root = proof_stream.pull_typed(bytes)
 
         weights = self.sample_weights(
             1
@@ -334,7 +336,7 @@ class Stark(StarkParams):
 
         polynomial_values: List[Tuple[int, int]] = []
         if not self.fri.verify(proof_stream, polynomial_values):
-            return False
+            raise VerificationError(f"FRI rejected: {self.fri.last_rejection}")
         polynomial_values.sort(key=lambda iv: iv[0])
         indices = [i for i, v in polynomial_values]
         values = [v for i, v in polynomial_values]
@@ -348,29 +350,28 @@ class Stark(StarkParams):
 
         depth = self.fri.domain_length.bit_length() - 1
 
-        def pull_section(root):
-            values = proof_stream.pull()
-            proof = proof_stream.pull()
-            if len(values) != len(duplicated_indices):
-                return None
+        def pull_section(root, what: str):
+            values = proof_stream.pull_typed(list)
+            proof = proof_stream.pull_typed(list)
+            if len(values) != len(duplicated_indices) or not all(
+                isinstance(v, int) for v in values
+            ):
+                raise MalformedProof(f"{what}: bad opened-values section")
             section = dict(zip(duplicated_indices, values))
             ld = {i: hash_leaf(str(v).encode()) for i, v in section.items()}
             if not verify_multi(root, depth, ld, proof):
-                return None
+                raise VerificationError(f"{what}: Merkle multiproof failed")
             return section
 
         # boundary quotient leaves
         leafs = []
         for r in range(len(boundary_quotient_roots)):
-            section = pull_section(boundary_quotient_roots[r])
-            if section is None:
-                return False
-            leafs.append(section)
+            leafs.append(
+                pull_section(boundary_quotient_roots[r], f"boundary quotient {r}")
+            )
 
         # randomizer leaves
-        randomizer = pull_section(randomizer_root)
-        if randomizer is None:
-            return False
+        randomizer = pull_section(randomizer_root, "randomizer")
 
         # re-derive and check the combination at each queried index
         zerofiers = self.boundary_zerofiers(boundary)
@@ -428,6 +429,12 @@ class Stark(StarkParams):
                 self.field.zero(),
             )
             if combination.value != values[i]:
-                return False
+                raise VerificationError(
+                    f"combination mismatch at query index {current_index}"
+                )
+
+        # anti-malleability: every transcript object must have been consumed
+        if proof_stream.read_index != len(proof_stream.objects):
+            raise MalformedProof("trailing transcript objects")
 
         return True

@@ -19,6 +19,8 @@ from __future__ import annotations
 import struct
 from typing import List, Tuple, Union
 
+from ..errors import MalformedProof
+
 TranscriptObject = Union[bytes, int, Tuple[int, ...], List[int], List[bytes]]
 
 MAGIC = b"STPU1"
@@ -51,43 +53,64 @@ def encode_obj(obj: TranscriptObject) -> bytes:
     raise TypeError(f"cannot encode transcript object of type {type(obj)}")
 
 
+def _need(buf: bytes, pos: int, n: int) -> None:
+    if pos + n > len(buf):
+        raise MalformedProof(
+            f"truncated transcript: need {n} bytes at offset {pos}, "
+            f"have {len(buf) - pos}"
+        )
+
+
 def decode_obj(buf: bytes, pos: int):
+    """Decode one object; raises MalformedProof (never IndexError or
+    struct.error) on truncated or corrupt input."""
+    _need(buf, pos, 1)
     tag = buf[pos]
     pos += 1
     if tag == _TAG_BYTES:
+        _need(buf, pos, 4)
         (n,) = struct.unpack_from(">I", buf, pos)
         pos += 4
+        _need(buf, pos, n)
         return bytes(buf[pos : pos + n]), pos + n
     if tag == _TAG_FELT:
+        _need(buf, pos, _FE_BYTES)
         v = int.from_bytes(buf[pos : pos + _FE_BYTES], "big")
         return v, pos + _FE_BYTES
     if tag == _TAG_FELT_TUPLE:
+        _need(buf, pos, 1)
         n = buf[pos]
         pos += 1
+        _need(buf, pos, n * _FE_BYTES)
         vals = tuple(
             int.from_bytes(buf[pos + i * _FE_BYTES : pos + (i + 1) * _FE_BYTES], "big")
             for i in range(n)
         )
         return vals, pos + n * _FE_BYTES
     if tag == _TAG_FELT_LIST:
+        _need(buf, pos, 4)
         (n,) = struct.unpack_from(">I", buf, pos)
         pos += 4
+        _need(buf, pos, n * _FE_BYTES)
         vals = [
             int.from_bytes(buf[pos + i * _FE_BYTES : pos + (i + 1) * _FE_BYTES], "big")
             for i in range(n)
         ]
         return vals, pos + n * _FE_BYTES
     if tag == _TAG_BYTES_LIST:
+        _need(buf, pos, 2)
         (n,) = struct.unpack_from(">H", buf, pos)
         pos += 2
         out = []
         for _ in range(n):
+            _need(buf, pos, 2)
             (m,) = struct.unpack_from(">H", buf, pos)
             pos += 2
+            _need(buf, pos, m)
             out.append(bytes(buf[pos : pos + m]))
             pos += m
         return out, pos
-    raise ValueError(f"bad transcript tag {tag} at {pos - 1}")
+    raise MalformedProof(f"bad transcript tag {tag} at offset {pos - 1}")
 
 
 def serialize(objects: List[TranscriptObject]) -> bytes:
@@ -95,7 +118,8 @@ def serialize(objects: List[TranscriptObject]) -> bytes:
 
 
 def deserialize(data: bytes) -> List[TranscriptObject]:
-    assert data[: len(MAGIC)] == MAGIC, "bad proof magic"
+    if data[: len(MAGIC)] != MAGIC:
+        raise MalformedProof("bad proof magic")
     pos = len(MAGIC)
     out = []
     while pos < len(data):

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import List
 
 from ..commit.hashing import blake2s_digest, shake256
+from ..errors import MalformedProof
 from . import codec
 
 
@@ -34,11 +35,21 @@ class ProofStream:
         self._offsets.append(len(self._buf))
 
     def pull(self) -> codec.TranscriptObject:
-        assert self.read_index < len(self.objects), (
-            "ProofStream: cannot pull object; queue empty."
-        )
+        if self.read_index >= len(self.objects):
+            raise MalformedProof("transcript exhausted: pull past end")
         obj = self.objects[self.read_index]
         self.read_index += 1
+        return obj
+
+    def pull_typed(self, expected_type) -> codec.TranscriptObject:
+        """Pull and type-check (malformed proofs can swap object kinds)."""
+        obj = self.pull()
+        if not isinstance(obj, expected_type):
+            raise MalformedProof(
+                f"transcript object {self.read_index - 1}: expected "
+                f"{getattr(expected_type, '__name__', expected_type)}, "
+                f"got {type(obj).__name__}"
+            )
         return obj
 
     def serialize(self) -> bytes:

@@ -18,14 +18,7 @@ from stark_anatomy_tpu.models.rpsss import RPSSS, FastRPSSS
 
 
 def test_fast_rpsss_end_to_end():
-    scheme = FastRPSSS()
-    air_eval = make_air_evaluator(scheme.stark)
-    orig_prove = scheme.stark.prove
-
-    def prove_fast(trace, air, boundary, tz, ps=None):
-        return orig_prove(trace, air, boundary, tz, ps, air_evaluator=air_eval)
-
-    scheme.stark.prove = prove_fast
+    scheme = FastRPSSS()  # wires the pointwise device AIR evaluator itself
 
     sk, pk = scheme.keygen()
     doc = b"Hello world: TPU-native STARK signatures"

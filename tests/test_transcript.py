@@ -54,10 +54,12 @@ def test_incremental_serialization_matches_batch():
 
 
 def test_pull_past_end_raises():
+    from stark_anatomy_tpu.errors import MalformedProof
+
     ps = ProofStream()
     ps.push(1)
     ps.pull()
-    with pytest.raises(AssertionError):
+    with pytest.raises(MalformedProof):
         ps.pull()
 
 
