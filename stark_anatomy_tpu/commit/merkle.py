@@ -1,8 +1,9 @@
 """Cached binary Merkle trees over blake2b, with native batch hashing.
 
 Same commitment scheme as the reference (merkle.py:3-44): power-of-two leaf
-count, 64-byte blake2b digests, leaf digest = blake2b(bytes(obj)) where
-bytes() of a field element is its decimal string (algebra.py:56-57).
+count, blake2b digests (32-byte here — deviation, see commit/hashing.py),
+leaf digest = blake2b(bytes(obj)) where bytes() of a field element is its
+decimal string (algebra.py:56-57).
 
 Unlike the reference — which recursively re-hashes the whole tree for every
 ``open`` (merkle.py:16-24), an O(N) cost per query — :class:`MerkleTree`
@@ -27,7 +28,8 @@ from .hashing import hash_leaf, hash_pair
 class MerkleTree:
     """A fully materialized Merkle tree.
 
-    levels[0] is the leaf-digest layer ((n, 64) uint8); levels[-1] is (1, 64).
+    levels[0] is the leaf-digest layer ((n, DIGEST_LEN) uint8); levels[-1]
+    is (1, DIGEST_LEN).
     """
 
     __slots__ = ("levels",)
@@ -50,6 +52,17 @@ class MerkleTree:
         n = canonical_limbs.shape[0]
         assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
         return cls(_digests=NB.leaves_from_limbs(np.asarray(canonical_limbs)))
+
+    @classmethod
+    def from_limbs_paired(cls, canonical_limbs: np.ndarray) -> "MerkleTree":
+        """Commit to a codeword with PAIRED leaves: leaf i covers rows i and
+        i + n/2 — the FRI split-and-fold pairing (reference: fri.py:85).
+        One opening authenticates both halves of a fold pair, and the tree
+        is half as deep; this is the framework's codeword commitment.
+        """
+        n = canonical_limbs.shape[0]
+        assert n > 1 and n & (n - 1) == 0, "row count must be a power of two"
+        return cls(_digests=NB.leaves_from_limb_pairs(np.asarray(canonical_limbs)))
 
     @property
     def root(self) -> bytes:
@@ -94,6 +107,17 @@ class Merkle:
     @staticmethod
     def verify(root: bytes, index: int, path: List[bytes], data_element) -> bool:
         return MerkleTree.verify_path(root, index, path, hash_leaf(bytes(data_element)))
+
+
+def paired_tree_from_ints(codeword: Sequence[int]) -> MerkleTree:
+    """Paired-leaf tree over a host codeword of canonical ints (leaf i =
+    H(dec(c[i]) | dec(c[i+n/2]))); matches MerkleTree.from_limbs_paired."""
+    half = len(codeword) // 2
+    enc = [
+        str(codeword[i]).encode() + b"|" + str(codeword[i + half]).encode()
+        for i in range(half)
+    ]
+    return MerkleTree(enc)
 
 
 def open_multi(tree: MerkleTree, indices) -> List[bytes]:

@@ -40,12 +40,16 @@ def get_lib():
         lib = ctypes.CDLL(_LIB_PATH)
         lib.stark_hash_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+            ctypes.c_uint64,
         ]
         lib.stark_merkle_level.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
         ]
         lib.stark_leaves_from_limbs.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        lib.stark_leaves_from_limb_pairs.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_uint64,
         ]
         lib.stark_limbs_to_decimal.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,

@@ -44,12 +44,15 @@ struct Blake2bState {
   uint8_t buf[128];
   size_t buflen;
   uint64_t t;  // total bytes (128-bit counter's low word; fine for our sizes)
+  size_t outlen;
 
-  void init() {
+  void init(size_t digest_len) {
     memcpy(h, IV, sizeof(h));
-    h[0] ^= 0x01010040ULL;  // digest_length=64, key=0, fanout=1, depth=1
+    // param block word 0: digest_length | key<<8 | fanout<<16 | depth<<24
+    h[0] ^= 0x01010000ULL | (uint64_t)digest_len;
     buflen = 0;
     t = 0;
+    outlen = digest_len;
   }
 
   void compress(const uint8_t *block, bool last) {
@@ -111,13 +114,13 @@ struct Blake2bState {
     t += buflen;
     memset(buf + buflen, 0, 128 - buflen);
     compress(buf, true);
-    memcpy(out, h, 64);  // little-endian words
+    memcpy(out, h, outlen);  // little-endian words, truncated to outlen
   }
 };
 
-void hash_one(const uint8_t *data, size_t len, uint8_t *out) {
+void hash_one(const uint8_t *data, size_t len, uint8_t *out, size_t outlen) {
   Blake2bState s;
-  s.init();
+  s.init(outlen);
   s.update(data, len);
   s.final(out);
 }
@@ -164,30 +167,52 @@ int limbs_to_decimal(const uint32_t *limbs, char *out) {
 extern "C" {
 
 // Hash n variable-length messages; offsets has n+1 entries into data.
+// dlen selects the blake2b digest length (e.g. 32 or 64 bytes).
 void stark_hash_batch(const uint8_t *data, const uint64_t *offsets, uint64_t n,
-                      uint8_t *out) {
+                      uint8_t *out, uint64_t dlen) {
 #pragma omp parallel for schedule(static)
   for (uint64_t i = 0; i < n; i++) {
-    hash_one(data + offsets[i], offsets[i + 1] - offsets[i], out + 64 * i);
+    hash_one(data + offsets[i], offsets[i + 1] - offsets[i], out + dlen * i,
+             (size_t)dlen);
   }
 }
 
-// One Merkle level: n digests (64B each, n even) -> n/2 parent digests.
-void stark_merkle_level(const uint8_t *digests, uint64_t n, uint8_t *out) {
+// One Merkle level: n digests (dlen bytes each, n even) -> n/2 parents.
+void stark_merkle_level(const uint8_t *digests, uint64_t n, uint8_t *out,
+                        uint64_t dlen) {
 #pragma omp parallel for schedule(static)
   for (uint64_t i = 0; i < n / 2; i++) {
-    hash_one(digests + 128 * i, 128, out + 64 * i);
+    hash_one(digests + 2 * dlen * i, 2 * (size_t)dlen, out + dlen * i,
+             (size_t)dlen);
   }
 }
 
 // Leaf digests straight from a canonical limb array (n rows x 8 uint32
 // limbs): decimal-encode each field element and blake2b it.
-void stark_leaves_from_limbs(const uint32_t *limbs, uint64_t n, uint8_t *out) {
+void stark_leaves_from_limbs(const uint32_t *limbs, uint64_t n, uint8_t *out,
+                             uint64_t dlen) {
 #pragma omp parallel for schedule(static)
   for (uint64_t i = 0; i < n; i++) {
     char dec[48];
     int len = limbs_to_decimal(limbs + 8 * i, dec);
-    hash_one((const uint8_t *)dec, (size_t)len, out + 64 * i);
+    hash_one((const uint8_t *)dec, (size_t)len, out + dlen * i, (size_t)dlen);
+  }
+}
+
+// Paired leaf digests: leaf i of a codeword of n rows covers rows i and
+// i + n/2 (the FRI split-and-fold pairing), encoded as
+// "dec(row_i)|dec(row_{i+n/2})".  Halves tree depth and lets one opening
+// authenticate both halves of a fold pair.
+void stark_leaves_from_limb_pairs(const uint32_t *limbs, uint64_t n,
+                                  uint8_t *out, uint64_t dlen) {
+  const uint64_t half = n / 2;
+#pragma omp parallel for schedule(static)
+  for (uint64_t i = 0; i < half; i++) {
+    char dec[100];
+    int len = limbs_to_decimal(limbs + 8 * i, dec);
+    dec[len++] = '|';
+    len += limbs_to_decimal(limbs + 8 * (i + half), dec + len);
+    hash_one((const uint8_t *)dec, (size_t)len, out + dlen * i, (size_t)dlen);
   }
 }
 

@@ -140,8 +140,11 @@ class BatchProver:
         rand_np = canonical_np(rand_lde)                   # (B, N, L)
 
         # per-proof commitments + Fiat-Shamir weights
-        bq_trees = [[MerkleTree.from_limbs(bq_np[i][s]) for s in range(R)] for i in range(B)]
-        rand_trees = [MerkleTree.from_limbs(rand_np[i]) for i in range(B)]
+        bq_trees = [
+            [MerkleTree.from_limbs_paired(bq_np[i][s]) for s in range(R)]
+            for i in range(B)
+        ]
+        rand_trees = [MerkleTree.from_limbs_paired(rand_np[i]) for i in range(B)]
         weight_cols = []
         n_weights = 1 + 2 * len(self.air) + 2 * R
         for i in range(B):
@@ -171,7 +174,8 @@ class BatchProver:
         # alphas; Merkle/Fiat-Shamir per proof on host
         layers_np, trees, indices_per_proof = self._fri_batch(combos, proof_streams)
 
-        # linked openings per proof
+        # linked openings per proof (paired leaves: multiproof over the
+        # reduced index set, values at the full quadrupled set)
         proofs = []
         for i in range(B):
             ps = proof_streams[i]
@@ -180,13 +184,14 @@ class BatchProver:
                 (idx + stark.expansion_factor) % N for idx in indices
             ]
             quadrupled = sorted(duplicated + [(idx + N // 2) % N for idx in duplicated])
+            leaf_indices = sorted({idx % (N // 2) for idx in duplicated})
             for s in range(R):
                 ps.push([int_from_row(bq_np[i][s][j]) for j in quadrupled])
-                ps.push(open_multi(bq_trees[i][s], quadrupled))
+                ps.push(open_multi(bq_trees[i][s], leaf_indices))
             ps.push([int_from_row(rand_np[i][j]) for j in quadrupled])
-            ps.push(open_multi(rand_trees[i], quadrupled))
+            ps.push(open_multi(rand_trees[i], leaf_indices))
             ps.push([int_from_row(self.tz.codeword_np[j]) for j in quadrupled])
-            ps.push(open_multi(self.tz.tree, quadrupled))
+            ps.push(open_multi(self.tz.tree, leaf_indices))
             proofs.append(ps.serialize())
         return proofs
 
@@ -209,7 +214,7 @@ class BatchProver:
             layer_arrays.append(canon)
             alphas = []
             for i in range(B):
-                tree = MerkleTree.from_limbs(canon[i])
+                tree = MerkleTree.from_limbs_paired(canon[i])
                 trees[i].append(tree)
                 proof_streams[i].push(tree.root)
             if r == fri.num_rounds() - 1:
@@ -239,14 +244,7 @@ class BatchProver:
             for rr in range(len(layer_arrays) - 1):
                 half = layer_arrays[rr].shape[1] // 2
                 indices = [idx % half for idx in indices]
-                fri.query(
-                    layer_arrays[rr][i],
-                    layer_arrays[rr + 1][i],
-                    trees[i][rr],
-                    trees[i][rr + 1],
-                    indices,
-                    ps,
-                )
+                fri.query(layer_arrays[rr][i], trees[i][rr], indices, ps)
             indices_per_proof.append(top)
         return layer_arrays, trees, indices_per_proof
 

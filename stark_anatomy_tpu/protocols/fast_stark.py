@@ -33,7 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..commit.hashing import hash_leaf
+from ..commit.hashing import hash_paired_leaf
 from ..commit.merkle import MerkleTree, open_multi, verify_multi
 from ..errors import MalformedProof, VerificationError, rejects_malformed
 from ..field import ops as F
@@ -91,7 +91,7 @@ class FastStark(StarkParams):
         )
         codeword_np = canonical_np(codeword)
         inv_codeword = F.inv(codeword)
-        tree = MerkleTree.from_limbs(codeword_np)
+        tree = MerkleTree.from_limbs_paired(codeword_np)
         return TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
 
     # ------------------------------------------------------------------
@@ -264,7 +264,7 @@ class FastStark(StarkParams):
         bq_np = canonical_np(bq_lde)                             # (R, N, L) rows
         bq_trees: List[MerkleTree] = []
         for s in range(R):
-            tree = MerkleTree.from_limbs(bq_np[s])
+            tree = MerkleTree.from_limbs_paired(bq_np[s])
             bq_trees.append(tree)
             proof_stream.push(tree.root)
 
@@ -283,7 +283,7 @@ class FastStark(StarkParams):
             device_from_ints(rand_coeffs), self.generator.value, N
         )
         rand_np = canonical_np(rand_lde)
-        rand_tree = MerkleTree.from_limbs(rand_np)
+        rand_tree = MerkleTree.from_limbs_paired(rand_np)
         proof_stream.push(rand_tree.root)
 
         # Fiat-Shamir weights
@@ -323,18 +323,21 @@ class FastStark(StarkParams):
             (i + self.expansion_factor) % N for i in indices
         ]
         quadrupled = sorted(duplicated + [(i + N // 2) % N for i in duplicated])
+        # paired leaves: leaf l authenticates BOTH l and l + N/2, so the
+        # multiproof only needs the reduced index set
+        leaf_indices = sorted({i % (N // 2) for i in duplicated})
 
         # batched openings: per section, ONE value list + ONE multiproof
         # (the reference pushes a full path per index, fast_stark.py:158-177)
         for s in range(R):
             proof_stream.push([int_from_row(bq_np[s][i]) for i in quadrupled])
-            proof_stream.push(open_multi(bq_trees[s], quadrupled))
+            proof_stream.push(open_multi(bq_trees[s], leaf_indices))
         proof_stream.push([int_from_row(rand_np[i]) for i in quadrupled])
-        proof_stream.push(open_multi(rand_tree, quadrupled))
+        proof_stream.push(open_multi(rand_tree, leaf_indices))
         proof_stream.push(
             [int_from_row(transition_zerofier.codeword_np[i]) for i in quadrupled]
         )
-        proof_stream.push(open_multi(transition_zerofier.tree, quadrupled))
+        proof_stream.push(open_multi(transition_zerofier.tree, leaf_indices))
 
         return proof_stream.serialize()
 
@@ -382,11 +385,18 @@ class FastStark(StarkParams):
         values = [v for i, v in polynomial_values]
 
         N = self.fri.domain_length
+        # `indices` already contains each test's a AND b positions (from
+        # FRI's polynomial_values), so adding the +expansion shifts yields
+        # exactly the prover's sorted `quadrupled` multiset
         duplicated = sorted(
             indices + [(i + self.expansion_factor) % N for i in indices]
         )
+        # paired leaves: leaf l covers positions l and l + N/2
+        leaf_indices = sorted({i % (N // 2) for i in duplicated})
 
-        depth = N.bit_length() - 1
+        depth = N.bit_length() - 2                    # paired tree: N/2 leaves
+
+        from ..commit.hashing import hash_paired_leaf
 
         def pull_section(root, what: str) -> Dict[int, int]:
             values = proof_stream.pull_typed(list)
@@ -397,7 +407,8 @@ class FastStark(StarkParams):
                 raise MalformedProof(f"{what}: bad opened-values section")
             section = dict(zip(duplicated, values))
             ld = {
-                i: hash_leaf(str(v).encode()) for i, v in section.items()
+                l: hash_paired_leaf(section[l], section[l + N // 2])
+                for l in leaf_indices
             }
             if not verify_multi(root, depth, ld, proof):
                 raise VerificationError(f"{what}: Merkle multiproof failed")

@@ -33,7 +33,7 @@ from ..field.scalar import Field, P
 from ..ops.domain import mont_const, power_table
 from ..poly.host_ntt import intt_ints
 from ..transcript.proof_stream import ProofStream
-from ..utils.convert import device_from_ints, ints_from_device, leaf_bytes
+from ..utils.convert import device_from_ints, ints_from_device
 
 _TWO_INV = pow(2, P - 2, P)
 
@@ -150,6 +150,12 @@ class Fri:
         big-ints in bulk: trees are built straight from the canonical limb
         arrays (native decimal-encode + hash), and only queried leaves are
         converted.
+
+        Commitments use PAIRED leaves — leaf i covers (c[i], c[i+n/2]), the
+        fold pairing — so one opening authenticates a whole colinearity pair
+        and the next layer's c-value check reuses the next round's opening
+        (the reference reveals c separately AND re-reveals it as the next
+        round's a/b, fri.py:98-113).
         """
         from ..utils.convert import canonical_np, int_from_row
 
@@ -159,7 +165,7 @@ class Fri:
         trees: List[MerkleTree] = []
         for r in range(self.num_rounds()):
             canon = canonical_np(codeword)
-            tree = MerkleTree.from_limbs(canon)
+            tree = MerkleTree.from_limbs_paired(canon)
             proof_stream.push(tree.root)
             layers.append(canon)
             trees.append(tree)
@@ -175,30 +181,25 @@ class Fri:
     def query(
         self,
         current_layer,
-        next_layer,
         current_tree: MerkleTree,
-        next_tree: MerkleTree,
         c_indices: List[int],
         proof_stream: ProofStream,
     ):
+        """Reveal, per test, the paired leaf (a, b) = (layer[i], layer[i+half])
+        at i = c_indices[s], plus ONE multiproof for the whole index set."""
         from ..utils.convert import int_from_row
 
         half = current_layer.shape[0] // 2
-        a_indices = list(c_indices)
-        b_indices = [i + half for i in c_indices]
         for s in range(self.num_colinearity_tests):
+            i = c_indices[s]
             proof_stream.push(
                 (
-                    int_from_row(current_layer[a_indices[s]]),
-                    int_from_row(current_layer[b_indices[s]]),
-                    int_from_row(next_layer[c_indices[s]]),
+                    int_from_row(current_layer[i]),
+                    int_from_row(current_layer[i + half]),
                 )
             )
-        # batched authentication: one multiproof per layer instead of the
-        # reference's three per test (fri.py:107-111)
-        proof_stream.push(open_multi(current_tree, a_indices + b_indices))
-        proof_stream.push(open_multi(next_tree, c_indices))
-        return a_indices + b_indices
+        proof_stream.push(open_multi(current_tree, c_indices))
+        return c_indices
 
     def prove(self, codeword: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
         """codeword: device Montgomery limb array of shape (NLIMBS, N)."""
@@ -216,14 +217,7 @@ class Fri:
         indices = list(top_level_indices)
         for i in range(len(layers) - 1):
             indices = [idx % (layers[i].shape[0] // 2) for idx in indices]
-            self.query(
-                layers[i],
-                layers[i + 1],
-                trees[i],
-                trees[i + 1],
-                indices,
-                proof_stream,
-            )
+            self.query(layers[i], trees[i], indices, proof_stream)
         return top_level_indices
 
     # -- verifier (host scalar) ----------------------------------------------
@@ -248,7 +242,20 @@ class Fri:
         last_codeword: List[int] = proof_stream.pull_typed(list)
         if not all(isinstance(v, int) for v in last_codeword):
             raise MalformedProof("last codeword is not a list of ints")
-        if roots[-1] != MerkleTree(leaf_bytes(last_codeword)).root:
+        # reachable from attacker-controlled bytes via len(last_codeword):
+        # structured rejection, NOT an assert (reference asserts, fri.py:157)
+        if len(last_codeword) < 2 or (
+            len(last_codeword) & (len(last_codeword) - 1)
+        ) != 0:
+            raise MalformedProof("last codeword length is not a power of two")
+        half_last = len(last_codeword) // 2
+        last_enc = [
+            str(last_codeword[i]).encode()
+            + b"|"
+            + str(last_codeword[i + half_last]).encode()
+            for i in range(half_last)
+        ]
+        if roots[-1] != MerkleTree(last_enc).root:
             raise VerificationError("last codeword does not match its root")
 
         degree = (len(last_codeword) // self.expansion_factor) - 1
@@ -256,12 +263,6 @@ class Fri:
         for _ in range(self.num_rounds() - 1):
             last_omega = last_omega * last_omega % P
             last_offset = last_offset * last_offset % P
-        # reachable from attacker-controlled bytes via len(last_codeword):
-        # structured rejection, NOT an assert (reference asserts, fri.py:157)
-        if len(last_codeword) == 0 or (
-            len(last_codeword) & (len(last_codeword) - 1)
-        ) != 0:
-            raise MalformedProof("last codeword length is not a power of two")
         if pow(last_omega, len(last_codeword), P) != 1:
             raise VerificationError(
                 "last codeword length inconsistent with round structure "
@@ -286,28 +287,43 @@ class Fri:
             self.num_colinearity_tests,
         )
 
-        for r in range(self.num_rounds() - 1):
-            c_indices = [i % (self.domain_length >> (r + 1)) for i in top_level_indices]
-            a_indices = list(c_indices)
-            b_indices = [i + (self.domain_length >> (r + 1)) for i in c_indices]
-
-            aa, bb, cc = [], [], []
+        # pull all query-round reveals: per round, `tests` paired-leaf
+        # tuples (a, b) and ONE multiproof (prover: query())
+        num_query_rounds = self.num_rounds() - 1
+        reveals: List[Tuple[List[Tuple[int, int]], List[bytes]]] = []
+        for r in range(num_query_rounds):
+            tuples: List[Tuple[int, int]] = []
             for s in range(self.num_colinearity_tests):
-                leaf_group = proof_stream.pull_typed(tuple)
-                if len(leaf_group) != 3 or not all(
-                    isinstance(v, int) for v in leaf_group
-                ):
-                    raise MalformedProof("FRI leaf group is not 3 ints")
-                ay, by, cy = leaf_group
-                aa.append(ay)
-                bb.append(by)
-                cc.append(cy)
+                leaf = proof_stream.pull_typed(tuple)
+                if len(leaf) != 2 or not all(isinstance(v, int) for v in leaf):
+                    raise MalformedProof("FRI paired leaf is not 2 ints")
+                tuples.append(leaf)
+            reveals.append((tuples, proof_stream.pull_typed(list)))
+
+        from ..commit.hashing import hash_paired_leaf
+
+        for r in range(num_query_rounds):
+            half = self.domain_length >> (r + 1)      # = len(layer r) / 2
+            c_indices = [i % half for i in top_level_indices]
+            tuples, multiproof = reveals[r]
+
+            for s in range(self.num_colinearity_tests):
+                ay, by = tuples[s]
                 if r == 0:
-                    polynomial_values.append((a_indices[s], ay))
-                    polynomial_values.append((b_indices[s], by))
+                    polynomial_values.append((c_indices[s], ay))
+                    polynomial_values.append((c_indices[s] + half, by))
+                # c-value: component of the NEXT layer's paired leaf (or of
+                # the clear last codeword for the final query round)
+                ci = c_indices[s]                      # index into layer r+1
+                if r + 1 < num_query_rounds:
+                    next_half = half // 2
+                    na, nb = reveals[r + 1][0][s]
+                    cy = na if ci < next_half else nb
+                else:
+                    cy = last_codeword[ci]
                 # colinearity: (by-ay)*(cx-ax) == (cy-ay)*(bx-ax)
-                ax = offset * pow(omega, a_indices[s], P) % P
-                bx = offset * pow(omega, b_indices[s], P) % P
+                ax = offset * pow(omega, ci, P) % P
+                bx = offset * pow(omega, ci + half, P) % P
                 cx = alphas[r]
                 lhs = (by - ay) * (cx - ax) % P
                 rhs = (cy - ay) * (bx - ax) % P
@@ -316,27 +332,14 @@ class Fri:
                         f"colinearity check failed (round {r}, test {s})"
                     )
 
-            from ..commit.hashing import hash_leaf
-
-            depth_cur = (self.domain_length >> r).bit_length() - 1
-            depth_next = depth_cur - 1
-            ld_cur = {}
-            for i in range(self.num_colinearity_tests):
-                ld_cur[a_indices[i]] = hash_leaf(str(aa[i]).encode())
-                ld_cur[b_indices[i]] = hash_leaf(str(bb[i]).encode())
-            proof_cur = proof_stream.pull_typed(list)
-            if not verify_multi(roots[r], depth_cur, ld_cur, proof_cur):
-                raise VerificationError(
-                    f"Merkle multiproof failed (round {r}, current layer)"
-                )
-            ld_next = {
-                c_indices[i]: hash_leaf(str(cc[i]).encode())
-                for i in range(self.num_colinearity_tests)
+            depth = half.bit_length() - 1              # paired tree: half leaves
+            ld = {
+                c_indices[s]: hash_paired_leaf(*tuples[s])
+                for s in range(self.num_colinearity_tests)
             }
-            proof_next = proof_stream.pull_typed(list)
-            if not verify_multi(roots[r + 1], depth_next, ld_next, proof_next):
+            if not verify_multi(roots[r], depth, ld, multiproof):
                 raise VerificationError(
-                    f"Merkle multiproof failed (round {r}, next layer)"
+                    f"Merkle multiproof failed (round {r})"
                 )
 
             omega = omega * omega % P

@@ -201,14 +201,13 @@ class Stark(StarkParams):
         fri_domain = [
             FieldElement(x, self.field) for x in self.fri.eval_domain()
         ]
-        from ..commit.merkle import MerkleTree
-        from ..utils.convert import leaf_bytes
+        from ..commit.merkle import MerkleTree, paired_tree_from_ints
 
         boundary_quotient_codewords = []
         boundary_quotient_trees = []
         for s in range(self.num_registers):
             codeword = [v.value for v in boundary_quotients[s].evaluate_domain(fri_domain)]
-            tree = MerkleTree(leaf_bytes(codeword))
+            tree = paired_tree_from_ints(codeword)
             boundary_quotient_codewords.append(codeword)
             boundary_quotient_trees.append(tree)
             proof_stream.push(tree.root)
@@ -238,7 +237,7 @@ class Stark(StarkParams):
         randomizer_codeword = [
             v.value for v in randomizer_polynomial.evaluate_domain(fri_domain)
         ]
-        randomizer_tree = MerkleTree(leaf_bytes(randomizer_codeword))
+        randomizer_tree = paired_tree_from_ints(randomizer_codeword)
         proof_stream.push(randomizer_tree.root)
 
         # Fiat-Shamir weights for the nonlinear combination
@@ -290,6 +289,10 @@ class Stark(StarkParams):
             for i in duplicated_indices
         ]
         quadrupled_indices.sort()
+        # paired leaves: one multiproof over the reduced leaf index set
+        leaf_indices = sorted(
+            {i % (self.fri.domain_length // 2) for i in duplicated_indices}
+        )
 
         from ..commit.merkle import open_multi
 
@@ -297,9 +300,9 @@ class Stark(StarkParams):
             proof_stream.push(
                 [boundary_quotient_codewords[s][i] for i in quadrupled_indices]
             )
-            proof_stream.push(open_multi(boundary_quotient_trees[s], quadrupled_indices))
+            proof_stream.push(open_multi(boundary_quotient_trees[s], leaf_indices))
         proof_stream.push([randomizer_codeword[i] for i in quadrupled_indices])
-        proof_stream.push(open_multi(randomizer_tree, quadrupled_indices))
+        proof_stream.push(open_multi(randomizer_tree, leaf_indices))
 
         return proof_stream.serialize()
 
@@ -311,7 +314,6 @@ class Stark(StarkParams):
         boundary: Boundary,
         proof_stream_factory=None,
     ) -> bool:
-        from ..commit.hashing import hash_leaf
         from ..commit.merkle import MerkleTree
 
         original_trace_length = 1 + max(c for c, r, v in boundary)
@@ -341,14 +343,16 @@ class Stark(StarkParams):
         indices = [i for i, v in polynomial_values]
         values = [v for i, v in polynomial_values]
 
+        N = self.fri.domain_length
         duplicated_indices = sorted(
-            indices
-            + [(i + self.expansion_factor) % self.fri.domain_length for i in indices]
+            indices + [(i + self.expansion_factor) % N for i in indices]
         )
+        leaf_indices = sorted({i % (N // 2) for i in duplicated_indices})
 
+        from ..commit.hashing import hash_paired_leaf
         from ..commit.merkle import verify_multi
 
-        depth = self.fri.domain_length.bit_length() - 1
+        depth = N.bit_length() - 2                    # paired tree: N/2 leaves
 
         def pull_section(root, what: str):
             values = proof_stream.pull_typed(list)
@@ -358,7 +362,10 @@ class Stark(StarkParams):
             ):
                 raise MalformedProof(f"{what}: bad opened-values section")
             section = dict(zip(duplicated_indices, values))
-            ld = {i: hash_leaf(str(v).encode()) for i, v in section.items()}
+            ld = {
+                l: hash_paired_leaf(section[l], section[l + N // 2])
+                for l in leaf_indices
+            }
             if not verify_multi(root, depth, ld, proof):
                 raise VerificationError(f"{what}: Merkle multiproof failed")
             return section
