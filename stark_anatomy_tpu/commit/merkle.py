@@ -93,6 +93,65 @@ class MerkleTree:
         return acc == root
 
 
+class MerkleForest(MerkleTree):
+    """A Merkle tree built as a FOREST of per-shard subtrees plus a top tree.
+
+    The commitment is BIT-IDENTICAL to the monolithic :class:`MerkleTree`
+    over the concatenated leaves: a binary tree over n leaves split into S
+    contiguous blocks is exactly S depth-(log2(n/S)) subtrees joined by a
+    depth-log2(S) top tree.  The value is the work decomposition (SURVEY.md
+    §2 parallel table: "hash leaves+subtrees locally per shard, all-gather
+    the subtree roots"): each shard hashes and reduces ITS block locally;
+    only the S subtree roots cross shards.  On multi-host deployments the
+    per-shard calls run where the data lives; openings are served from the
+    owning shard's subtree plus the shared top levels.
+    """
+
+    def __init__(self, shard_leaf_digests: List[np.ndarray]):
+        S = len(shard_leaf_digests)
+        assert S > 0 and S & (S - 1) == 0, "shard count must be a power of two"
+        per = shard_leaf_digests[0].shape[0]
+        assert all(d.shape[0] == per for d in shard_leaf_digests), (
+            "all shards must hold the same number of leaves"
+        )
+        # shard-local subtree levels (this is the distributable work)
+        sub_levels: List[List[np.ndarray]] = []
+        for d in shard_leaf_digests:
+            levels = [d]
+            while levels[-1].shape[0] > 1:
+                levels.append(NB.merkle_level(levels[-1]))
+            sub_levels.append(levels)
+        # stitch: full-tree level k = concatenation of shard levels k
+        self.levels = [
+            np.concatenate([sl[k] for sl in sub_levels])
+            for k in range(len(sub_levels[0]))
+        ]
+        # top tree over the S subtree roots ("all-gathered")
+        while self.levels[-1].shape[0] > 1:
+            self.levels.append(NB.merkle_level(self.levels[-1]))
+
+    @classmethod
+    def from_limbs_paired_sharded(
+        cls, canonical_limbs: np.ndarray, num_shards: int
+    ) -> "MerkleForest":
+        """Paired-leaf forest over a canonical (n, NLIMBS) codeword: pair
+        row i with i + n/2, split the n/2 leaves into ``num_shards``
+        contiguous blocks, hash each block independently."""
+        n = canonical_limbs.shape[0]
+        assert n > 1 and n & (n - 1) == 0
+        half = n // 2
+        assert half % num_shards == 0
+        per = half // num_shards
+        blocks = []
+        for s in range(num_shards):
+            lo = canonical_limbs[s * per : (s + 1) * per]
+            hi = canonical_limbs[half + s * per : half + (s + 1) * per]
+            blocks.append(
+                NB.leaves_from_limb_pairs(np.concatenate([lo, hi], axis=0))
+            )
+        return cls(blocks)
+
+
 class Merkle:
     """Stateless reference-compatible API (reference: merkle.py:3-44)."""
 

@@ -33,7 +33,16 @@ def factor_mesh(n_devices: int) -> Tuple[int, int]:
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        available = jax.devices()
+        if n_devices is not None and len(available) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(available)} devices "
+                f"are available — a silently smaller mesh would run "
+                f"unsharded (for virtual CPU devices, set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"before the first jax import)"
+            )
+        devices = available[: n_devices or len(available)]
     dp, sp = factor_mesh(len(devices))
     return Mesh(np.array(devices).reshape(dp, sp), axis_names=("dp", "sp"))
 

@@ -40,11 +40,19 @@ def _local_ntt(x: jnp.ndarray, bitrev, powers, n_inv=None) -> jnp.ndarray:
     return ntt_core(x, bitrev, powers, n_inv)
 
 
-def make_distributed_ntt(n: int, mesh: Mesh, axis: str = "sp", inverse: bool = False):
+def make_distributed_ntt(
+    n: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    inverse: bool = False,
+    batch_ndim: int = 0,
+):
     """Build a jitted distributed (i)NTT over codewords of length ``n``
     sharded on the last axis over ``axis``.
 
-    Returns fn(x) where x is (NLIMBS, n) with NamedSharding P(None, axis).
+    Returns fn(x) where x is (*batch, NLIMBS, n) with the LAST axis sharded
+    (``batch_ndim`` leading batch axes, replicated).  Used standalone and as
+    the sharded prover's LDE engine (parallel/sharded_stark.py).
     """
     S = mesh.shape[axis]
     assert n % (S * S) == 0, "need n divisible by shards^2"
@@ -64,37 +72,40 @@ def make_distributed_ntt(n: int, mesh: Mesh, axis: str = "sp", inverse: bool = F
     n_inv = dom_n["n_inv"] if inverse else None
 
     def body(x_local, tw_local):
-        # x_local: (NLIMBS, B) = row a of the A x B matrix (a = shard id)
+        # x_local: (*batch, NLIMBS, B) = row a of the A x B matrix
+        # (a = shard id); comments track the batch-free shapes
+        lead = x_local.shape[:-2]
         # --- step 1: column NTTs of length A ---------------------------
-        # split b into (a', t): (NLIMBS, A, B/A); all_to_all over a'
-        xs = x_local.reshape(NLIMBS, A, B // A)
-        # after exchange: axis 1 indexes the ORIGINAL row a; this shard
+        # split b into (a', t): (..., NLIMBS, A, B/A); all_to_all over a'
+        xs = x_local.reshape(lead + (NLIMBS, A, B // A))
+        a2a = xs.ndim - 2                                    # the A axis
+        # after exchange: that axis indexes the ORIGINAL row a; this shard
         # holds b-slice [s*B/A, (s+1)*B/A)
-        cols = jax.lax.all_to_all(xs, axis, 1, 1)
-        # length-A NTT along axis 1 (batch axis must LEAD for ntt_core and
-        # mont_mul: the limb axis must sit at -2)
-        c = jnp.transpose(cols, (2, 0, 1))                  # (B/A, NLIMBS, A)
+        cols = jax.lax.all_to_all(xs, axis, a2a, a2a)
+        # length-A NTT along the A axis (batch axes must LEAD for ntt_core
+        # and mont_mul: the limb axis must sit at -2)
+        c = jnp.moveaxis(cols, -1, -3)                       # (..., B/A, NLIMBS, A)
         if A > 1:
             c = ntt_core(c, bitrev_a, powers_a)
         # --- twiddle: multiply entry (a, b) by omega_N^(a*b) ------------
         # this shard's b values: b = s*(B/A) + t;  tw_local is (B/A, L, A)
         c = F.mont_mul(c, tw_local)
-        cols = jnp.transpose(c, (1, 2, 0))                  # (NLIMBS, A, B/A)
+        cols = jnp.moveaxis(c, -3, -1)                       # (..., NLIMBS, A, B/A)
         # --- step 2: row NTTs of length B -------------------------------
         # regroup so each shard holds ONE full transformed row a = s
-        rows = jax.lax.all_to_all(cols, axis, 1, 1)          # undo transpose
-        rows = rows.reshape(NLIMBS, B)
-        rows = ntt_core(rows, bitrev_b, powers_b)            # (NLIMBS, B)
+        rows = jax.lax.all_to_all(cols, axis, a2a, a2a)      # undo transpose
+        rows = rows.reshape(lead + (NLIMBS, B))
+        rows = ntt_core(rows, bitrev_b, powers_b)            # (..., NLIMBS, B)
         # --- step 3: natural-order shuffle ------------------------------
         # current: shard a holds Y[a][b'] = X_hat[a + A*b']; natural index
         # k = a + A*b' -> shard k // B must hold position k % B.
         # Split b' into (q, t): k = a + A*(q*(B/A) + t)  with q in [0,A)
-        y = rows.reshape(NLIMBS, A, B // A)                  # axis1 = q
-        y = jax.lax.all_to_all(y, axis, 1, 1)                # axis1 = a_src
+        y = rows.reshape(lead + (NLIMBS, A, B // A))         # A axis = q
+        y = jax.lax.all_to_all(y, axis, a2a, a2a)            # A axis = a_src
         # shard q now holds, for each a_src and t: X_hat[a_src + A*(q*(B/A)+t)]
         # natural local index j (within shard q) = a_src + A*t
-        y = jnp.moveaxis(y, 1, -1)                           # (NLIMBS, B/A, A)
-        y = y.reshape(NLIMBS, B)                             # j = t*A + a_src
+        y = jnp.moveaxis(y, -2, -1)                          # (..., NLIMBS, B/A, A)
+        y = y.reshape(lead + (NLIMBS, B))                    # j = t*A + a_src
         return y
 
     # per-shard cross twiddles: shard s needs omega_N^(a*b) for
@@ -120,11 +131,12 @@ def make_distributed_ntt(n: int, mesh: Mesh, axis: str = "sp", inverse: bool = F
             out = F.mont_mul(out, n_inv)
         return out
 
+    x_spec = P(*([None] * (batch_ndim + 1) + [axis]))
     fn = shard_map(
         body_wrapper,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis, None, None, None)),
-        out_specs=P(None, axis),
+        in_specs=(x_spec, P(axis, None, None, None)),
+        out_specs=x_spec,
         check_vma=False,
     )
     tw_sharded = jax.device_put(

@@ -91,7 +91,7 @@ class FastStark(StarkParams):
         )
         codeword_np = canonical_np(codeword)
         inv_codeword = F.inv(codeword)
-        tree = MerkleTree.from_limbs_paired(codeword_np)
+        tree = self._merkle_from_canon(codeword_np)
         return TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
 
     # ------------------------------------------------------------------
@@ -154,6 +154,27 @@ class FastStark(StarkParams):
         }
         return self._interp_cache
 
+    # -- sharding hooks (overridden by parallel.sharded_stark) ----------
+    def _place_codeword(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Device-placement hook for codeword-axis arrays (identity here;
+        the sharded prover places them NamedSharding over the sp axis)."""
+        return arr
+
+    def _lde(self, coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
+        """LDE hook: single-device coset evaluation (the sharded prover
+        substitutes a domain-sharded evaluation)."""
+        return NTT.coset_evaluate(coeffs, offset, order)
+
+    def _intt(self, values: jnp.ndarray) -> jnp.ndarray:
+        """iNTT hook (the sharded prover substitutes the four-step
+        distributed transform)."""
+        return NTT.intt(values)
+
+    def _merkle_from_canon(self, canon) -> MerkleTree:
+        """Commitment hook: paired-leaf tree (the sharded prover
+        substitutes the per-shard MerkleForest — identical bytes)."""
+        return MerkleTree.from_limbs_paired(canon)
+
     def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
         """(..., R, L, n) trace columns -> (..., R, L, N_fri) LDE.
 
@@ -165,10 +186,11 @@ class FastStark(StarkParams):
         N = self.fri_domain_length
         c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
         c = NTT._pad_coeffs(c, M)                               # zeros beyond n
-        e = NTT.intt(c)
+        c = self._place_codeword(c)
+        e = self._intt(c)
         a = jnp.roll(e, -1, axis=-1)                            # A = M * rot(e)
         a = F.mont_mul(a, t["m_const"])
-        a_lde = NTT.coset_evaluate(a, self.generator.value, N)  # (..., R, L, N)
+        a_lde = self._lde(a, self.generator.value, N)           # (..., R, L, N)
         return F.mont_mul(F.mont_mul(t["zn_fri"], a_lde), t["inv_xm"])
 
     def _boundary_tables(self, boundary: Boundary):
@@ -208,6 +230,7 @@ class FastStark(StarkParams):
         proof_stream: Optional[ProofStream] = None,
         air_evaluator=None,
         trace_columns=None,
+        urandom=os.urandom,
     ) -> bytes:
         """Generate a proof.  ``air_evaluator``, if given, is a device
         function (x_lde, current, next_) -> (C, N, L) evaluating the
@@ -228,7 +251,7 @@ class FastStark(StarkParams):
 
         # randomized trace columns on device: (R, L, n)
         rand_rows = [
-            [self.field.sample(os.urandom(17)).value for _ in range(R)]
+            [self.field.sample(urandom(17)).value for _ in range(R)]
             for _ in range(self.num_randomizers)
         ]
         if trace_columns is not None:
@@ -264,7 +287,7 @@ class FastStark(StarkParams):
         bq_np = canonical_np(bq_lde)                             # (R, N, L) rows
         bq_trees: List[MerkleTree] = []
         for s in range(R):
-            tree = MerkleTree.from_limbs_paired(bq_np[s])
+            tree = self._merkle_from_canon(bq_np[s])
             bq_trees.append(tree)
             proof_stream.push(tree.root)
 
@@ -277,13 +300,11 @@ class FastStark(StarkParams):
         # randomizer polynomial
         max_degree = self.max_degree(transition_constraints)
         rand_coeffs = [
-            self.field.sample(os.urandom(17)).value for _ in range(max_degree + 1)
+            self.field.sample(urandom(17)).value for _ in range(max_degree + 1)
         ]
-        rand_lde = NTT.coset_evaluate(
-            device_from_ints(rand_coeffs), self.generator.value, N
-        )
+        rand_lde = self._lde(device_from_ints(rand_coeffs), self.generator.value, N)
         rand_np = canonical_np(rand_lde)
-        rand_tree = MerkleTree.from_limbs_paired(rand_np)
+        rand_tree = self._merkle_from_canon(rand_np)
         proof_stream.push(rand_tree.root)
 
         # Fiat-Shamir weights

@@ -83,6 +83,9 @@ class Fri:
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
         self._u0 = None  # lazy inverse-domain table
+        # commitment builder hook: canonical (n, NLIMBS) -> MerkleTree;
+        # the sharded prover swaps in the per-shard MerkleForest
+        self.tree_builder = MerkleTree.from_limbs_paired
         assert self.num_rounds() >= 1, "cannot do FRI with less than one round"
 
     # -- round structure (reference: fri.py:22-28) --------------------------
@@ -165,7 +168,7 @@ class Fri:
         trees: List[MerkleTree] = []
         for r in range(self.num_rounds()):
             canon = canonical_np(codeword)
-            tree = MerkleTree.from_limbs_paired(canon)
+            tree = self.tree_builder(canon)
             proof_stream.push(tree.root)
             layers.append(canon)
             trees.append(tree)

@@ -70,3 +70,25 @@ def test_cached_tree_structure():
     tree = MerkleTree(leaves)
     assert len(tree.levels) == 4
     assert [len(l) for l in tree.levels] == [8, 4, 2, 1]
+
+
+def test_merkle_forest_bit_identical_to_tree():
+    """The per-shard forest (sharded commitment) must produce the same
+    root AND the same multiproof bytes as the monolithic paired tree."""
+    import numpy as np
+
+    from stark_anatomy_tpu.commit.merkle import (
+        MerkleForest,
+        MerkleTree,
+        open_multi,
+    )
+
+    rng = np.random.default_rng(42)
+    canon = rng.integers(0, 1 << 16, size=(256, 8), dtype=np.uint32)
+    tree = MerkleTree.from_limbs_paired(canon)
+    for shards in (1, 2, 4, 8):
+        forest = MerkleForest.from_limbs_paired_sharded(canon, shards)
+        assert forest.root == tree.root, f"root mismatch at S={shards}"
+        idx = [0, 3, 17, 64, 100, 127]
+        assert open_multi(forest, idx) == open_multi(tree, idx)
+        assert forest.open(5) == tree.open(5)
