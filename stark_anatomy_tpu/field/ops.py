@@ -380,6 +380,55 @@ def inv(x: jnp.ndarray) -> jnp.ndarray:
     return mont_pow(x, P - 2)
 
 
+@jax.jit
+def batch_inv(x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise inversion via Montgomery's batch trick: ~3 multiplies
+    per element instead of Fermat's ~256 (mont_pow scan over p-2's bits).
+
+    The last axis is split into blocks of G = 256 lanes; a forward scan
+    of length G accumulates running prefix products (vectorized across
+    blocks), ONE Fermat inversion handles the N/G block totals, and a
+    backward scan peels per-element inverses:  inv(x_i) = t_i * p_{i-1},
+    t_{i-1} = t_i * x_i.  Zeros map to zero (Fermat-compatible): zero
+    inputs are masked to one for the products and zeroed at the end.
+    """
+    n = x.shape[-1]
+    G = 256
+    while n % G and G > 1:
+        G //= 2
+    B = n // G
+
+    zero_mask = is_zero(x)                                     # (..., n)
+    ones = jnp.broadcast_to(
+        jnp.asarray(np.array(ONE_MONT_LIMBS, dtype=np.uint32))[:, None], x.shape
+    )
+    safe = jnp.where(zero_mask[..., None, :], ones, x)
+
+    blocks = safe.reshape(safe.shape[:-1] + (B, G))            # (..., L, B, G)
+    xs = jnp.moveaxis(blocks, -1, 0)                           # (G, ..., L, B)
+
+    def fwd(carry, xi):
+        nxt = _mont_mul_core(carry, xi)
+        return nxt, carry                                      # prefix BEFORE xi
+
+    init = jnp.broadcast_to(
+        jnp.asarray(np.array(ONE_MONT_LIMBS, dtype=np.uint32))[:, None],
+        xs.shape[1:],
+    )
+    total, prefix_before = jax.lax.scan(fwd, init, xs)         # total: (..., L, B)
+
+    inv_total = mont_pow(total, P - 2)
+
+    def bwd(t, inp):
+        xi, pb = inp
+        inv_xi = _mont_mul_core(t, pb)
+        return _mont_mul_core(t, xi), inv_xi
+
+    _, invs = jax.lax.scan(bwd, inv_total, (xs, prefix_before), reverse=True)
+    out = jnp.moveaxis(invs, 0, -1).reshape(x.shape)           # (..., L, n)
+    return jnp.where(zero_mask[..., None, :], jnp.zeros_like(out), out)
+
+
 def mul_by_int(a: jnp.ndarray, c: int) -> jnp.ndarray:
     """Multiply Montgomery-form a by a canonical integer constant c."""
     c_mont = jnp.asarray(np.array(int_to_limbs(c % P * R % P), dtype=np.uint32))[:, None]

@@ -85,7 +85,7 @@ def interpolate_generic(points: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray
     z = zerofier(points)                                   # (NLIMBS, n+1)
     dz = _derivative(z)
     dz_at = evaluate_domain_horner(dz, points)
-    w = F.mont_mul(values, F.inv(dz_at))                   # (NLIMBS, n)
+    w = F.mont_mul(values, F.batch_inv(dz_at))                   # (NLIMBS, n)
     qs = _synthetic_divide_all(z, points)                  # (n, NLIMBS, n)
     terms = F.mont_mul(w[None, :, :], qs)
     coeffs = _tree_sum_last(terms)                         # (n, NLIMBS)

@@ -174,7 +174,7 @@ def coset_divide(
     """
     lc = ntt(coset_scale(_pad_coeffs(lhs, order), offset))
     rc = ntt(coset_scale(_pad_coeffs(rhs, order), offset))
-    q = F.mont_mul(lc, F.inv(rc))
+    q = F.mont_mul(lc, F.batch_inv(rc))
     coeffs = coset_scale(intt(q), offset, inverse=True)
     if out_len is not None:
         coeffs = coeffs[..., :out_len]

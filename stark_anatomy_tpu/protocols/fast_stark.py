@@ -68,6 +68,11 @@ class FastStark(StarkParams):
         super().__init__(*args, **kwargs)
         self._interp_cache = None
         self._bz_cache: Dict[tuple, tuple] = {}
+        # per-phase wall-clock attribution; bench/tests read
+        # ``self.timer.report()`` after prove (utils/profiling.py)
+        from ..utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------
     # preprocessing
@@ -77,20 +82,21 @@ class FastStark(StarkParams):
         from ..poly.host_ntt import host_zerofier
         from ..utils.convert import canonical_np
 
-        pts = [
-            e.value for e in self.omicron_powers(self.original_trace_length - 1)
-        ]
-        if len(pts) <= 2048:
+        count = self.original_trace_length - 1
+        if count <= 2048:
             # small domains: host big-int accumulation avoids compiling a
             # device product tree of many distinct shapes
+            pts = [e.value for e in self.omicron_powers(count)]
             coeffs = device_from_ints(host_zerofier(pts))
         else:
-            coeffs = NTT.zerofier(device_from_ints(pts))
+            # large traces: device power table + device product tree —
+            # no O(count) host big-int work anywhere
+            coeffs = NTT.zerofier(self.omicron_powers_device(count))
         codeword = NTT.coset_evaluate(
             coeffs, self.generator.value, self.fri_domain_length
         )
         codeword_np = canonical_np(codeword)
-        inv_codeword = F.inv(codeword)
+        inv_codeword = F.batch_inv(codeword)
         tree = self._merkle_from_canon(codeword_np)
         return TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
 
@@ -109,11 +115,11 @@ class FastStark(StarkParams):
         # Z_n: zerofier of the first n omicron-domain points
         from ..poly.host_ntt import host_zerofier
 
-        pts = [e.value for e in self.omicron_powers(n)]
         if n <= 2048:
-            zn = device_from_ints(host_zerofier(pts))          # (n+1, L)
+            pts = [e.value for e in self.omicron_powers(n)]
+            zn = device_from_ints(host_zerofier(pts))          # (L, n+1)
         else:
-            zn = NTT.zerofier(device_from_ints(pts))           # (n+1, L)
+            zn = NTT.zerofier(self.omicron_powers_device(n))   # (L, n+1)
 
         # Z_n' evaluated on <omega_M>, first n entries, inverted
         # derivative: (k+1) * z_{k+1}
@@ -128,7 +134,7 @@ class FastStark(StarkParams):
         k_mont = F.to_mont(jnp.asarray(k_limbs))
         dz = F.mont_mul(zn[..., 1:], k_mont)                    # (L, n)
         dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))              # (L, M)
-        inv_dz = F.inv(dz_evals[..., :n])                        # (L, n)
+        inv_dz = F.batch_inv(dz_evals[..., :n])                        # (L, n)
 
         # Z_n on the FRI coset
         zn_fri = NTT.coset_evaluate(zn, g, N)                  # (N, L)
@@ -207,7 +213,7 @@ class FastStark(StarkParams):
         for s in range(self.num_registers):
             bz_coeffs = device_from_ints([c.value for c in zerofiers[s].coefficients])
             bz_lde = NTT.evaluate_domain_horner(bz_coeffs, t["x_lde"])
-            inv_bz.append(F.inv(bz_lde))
+            inv_bz.append(F.batch_inv(bz_lde))
             ip_coeffs = [c.value for c in interpolants[s].coefficients]
             if not ip_coeffs:
                 ip_coeffs = [0]
@@ -274,38 +280,57 @@ class FastStark(StarkParams):
             )
             n_rows = len(rows)
 
+        import jax as _jax
+
         # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
         # so trace(omicron * x) is a roll of the codeword)
-        trace_lde = self._trace_lde(columns)                     # (R, L, N)
-        next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-1)
+        with self.timer.phase("trace_lde"):
+            trace_lde = self._trace_lde(columns)                 # (R, L, N)
+            next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-1)
+            _jax.block_until_ready(trace_lde)
 
         # boundary quotients, committed
-        inv_bz, interp = self._boundary_tables(boundary)
-        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)    # (R, L, N)
         from ..utils.convert import canonical_np, int_from_row
 
-        bq_np = canonical_np(bq_lde)                             # (R, N, L) rows
-        bq_trees: List[MerkleTree] = []
-        for s in range(R):
-            tree = self._merkle_from_canon(bq_np[s])
-            bq_trees.append(tree)
-            proof_stream.push(tree.root)
+        with self.timer.phase("boundary_quotients"):
+            inv_bz, interp = self._boundary_tables(boundary)
+            bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)  # (R, L, N)
+            bq_np = canonical_np(bq_lde)                         # (R, N, L) rows
+        with self.timer.phase("commit_bq"):
+            bq_trees: List[MerkleTree] = []
+            for s in range(R):
+                tree = self._merkle_from_canon(bq_np[s])
+                bq_trees.append(tree)
+                proof_stream.push(tree.root)
 
         # transition quotients: pointwise AIR / zerofier
-        if air_evaluator is None:
-            air_evaluator = compile_air(transition_constraints)
-        constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)  # (C, L, N)
-        tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
+        with self.timer.phase("air_quotients"):
+            if air_evaluator is None:
+                air_evaluator = compile_air(transition_constraints)
+            constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)
+            tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
+            _jax.block_until_ready(tq_lde)
 
         # randomizer polynomial
         max_degree = self.max_degree(transition_constraints)
-        rand_coeffs = [
-            self.field.sample(urandom(17)).value for _ in range(max_degree + 1)
-        ]
-        rand_lde = self._lde(device_from_ints(rand_coeffs), self.generator.value, N)
-        rand_np = canonical_np(rand_lde)
-        rand_tree = self._merkle_from_canon(rand_np)
-        proof_stream.push(rand_tree.root)
+        with self.timer.phase("randomizer_poly"):
+            if max_degree + 1 > 4096:
+                # large traces: bulk device sampling (utils/rand.py) — the
+                # per-element host path would cost minutes at 2^22 coeffs
+                from ..utils.rand import bulk_random_mont
+
+                rand_poly_dev = bulk_random_mont(max_degree + 1, urandom)
+            else:
+                rand_coeffs = [
+                    self.field.sample(urandom(17)).value
+                    for _ in range(max_degree + 1)
+                ]
+                rand_poly_dev = device_from_ints(rand_coeffs)
+            rand_lde = self._lde(rand_poly_dev, self.generator.value, N)
+            rand_np = canonical_np(rand_lde)
+        with self.timer.phase("commit_randomizer"):
+            rand_tree = self._merkle_from_canon(rand_np)
+            proof_stream.push(rand_tree.root)
 
         # Fiat-Shamir weights
         num_constraints = len(transition_constraints)
@@ -318,26 +343,29 @@ class FastStark(StarkParams):
         # scan-based weighted_sum kernel (transcript weight order:
         # randomizer, per-constraint [tq, shifted tq], per-register
         # [bq, shifted bq] — reference: fast_stark.py:130-145)
-        tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
-        bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
-        tq_shift = jnp.stack(
-            [F.mont_pow(t["x_lde"], max_degree - b) for b in tq_bounds]
-        )
-        bq_shift = jnp.stack(
-            [F.mont_pow(t["x_lde"], max_degree - b) for b in bq_bounds]
-        )
-        sh_tq = F.mont_mul(tq_shift, tq_lde)
-        sh_bq = F.mont_mul(bq_shift, bq_lde)
-        terms = jnp.concatenate([
-            rand_lde[None],
-            jnp.stack([tq_lde, sh_tq], axis=1).reshape((-1,) + tq_lde.shape[1:]),
-            jnp.stack([bq_lde, sh_bq], axis=1).reshape((-1,) + bq_lde.shape[1:]),
-        ])                                                    # (W, L, N)
-        w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
-        combo = F.weighted_sum(terms, w_dev)
+        with self.timer.phase("combination"):
+            tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
+            bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
+            tq_shift = jnp.stack(
+                [F.mont_pow(t["x_lde"], max_degree - b) for b in tq_bounds]
+            )
+            bq_shift = jnp.stack(
+                [F.mont_pow(t["x_lde"], max_degree - b) for b in bq_bounds]
+            )
+            sh_tq = F.mont_mul(tq_shift, tq_lde)
+            sh_bq = F.mont_mul(bq_shift, bq_lde)
+            terms = jnp.concatenate([
+                rand_lde[None],
+                jnp.stack([tq_lde, sh_tq], axis=1).reshape((-1,) + tq_lde.shape[1:]),
+                jnp.stack([bq_lde, sh_bq], axis=1).reshape((-1,) + bq_lde.shape[1:]),
+            ])                                                # (W, L, N)
+            w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
+            combo = F.weighted_sum(terms, w_dev)
+            _jax.block_until_ready(combo)
 
         # FRI proof over the combination codeword
-        indices = self.fri.prove(combo, proof_stream)
+        with self.timer.phase("fri"):
+            indices = self.fri.prove(combo, proof_stream)
 
         # linked openings at quadrupled indices (reference: fast_stark.py:154-177)
         duplicated = indices + [
@@ -350,6 +378,8 @@ class FastStark(StarkParams):
 
         # batched openings: per section, ONE value list + ONE multiproof
         # (the reference pushes a full path per index, fast_stark.py:158-177)
+        self.timer.totals.setdefault("openings", 0.0)
+        _t_open = __import__("time").perf_counter()
         for s in range(R):
             proof_stream.push([int_from_row(bq_np[s][i]) for i in quadrupled])
             proof_stream.push(open_multi(bq_trees[s], leaf_indices))
@@ -359,6 +389,8 @@ class FastStark(StarkParams):
             [int_from_row(transition_zerofier.codeword_np[i]) for i in quadrupled]
         )
         proof_stream.push(open_multi(transition_zerofier.tree, leaf_indices))
+        self.timer.totals["openings"] += __import__("time").perf_counter() - _t_open
+        self.timer.counts["openings"] += 1
 
         return proof_stream.serialize()
 

@@ -103,6 +103,17 @@ class StarkParams:
             acc = acc * w % self.field.p
         return out
 
+    def omicron_powers_device(self, count: int):
+        """[omicron^0 .. omicron^(count-1)] as a DEVICE Montgomery limb
+        array (NLIMBS, count) — log2 doubling multiplies instead of
+        ``count`` host big-int multiplies (ops/domain.py:power_table).
+        The large-trace path: at count = 2^20 the host loop above costs
+        seconds of pure Python before the prover even starts."""
+        from ..ops.domain import power_table
+
+        n = 1 << max(count - 1, 1).bit_length()  # next power of two >= count
+        return power_table(self.omicron.value, n)[..., :count]
+
     # -- degree bookkeeping (reference: stark.py:35-68) ----------------------
     def transition_degree_bounds(self, transition_constraints: Sequence[MPolynomial]):
         point_degrees = [1] + [

@@ -174,3 +174,19 @@ def test_mont_mul_broadcasting():
     ds = device_vals(s)          # (8, 1) broadcasts across elements
     got = back(F.mont_mul(da, ds))
     assert got == [(x * s[0]) % P for x in a]
+
+
+def test_batch_inv_matches_fermat():
+    """Montgomery batch inversion (the prover's inversion path) must agree
+    with Fermat elementwise, including 0 -> 0, at non-divisible sizes."""
+    import random
+
+    import stark_anatomy_tpu.field.ops as F
+    from stark_anatomy_tpu.field.scalar import P
+    from stark_anatomy_tpu.utils.convert import device_from_ints, ints_from_device
+
+    rng = random.Random(99)
+    vals = [rng.randrange(P) for _ in range(500)] + [0, 1, P - 1, 0]
+    x = device_from_ints(vals)
+    got = ints_from_device(F.batch_inv(x))
+    assert got == [pow(v, P - 2, P) if v else 0 for v in vals]
