@@ -67,6 +67,8 @@ def main():
     log(f"sign: {t_sign:.3f}s  verify: {t_verify:.3f}s  size: {len(sig)/1024:.1f} kB")
     log(f"(reference baselines: sign 72 s, verify 8 s, ~160 kB)")
 
+    log("prover phases:\n" + scheme.stark.timer.report())
+
     # secondary: NTT throughput at N=2^20
     try:
         import jax.numpy as jnp
@@ -87,6 +89,35 @@ def main():
         log(f"NTT 2^20: {dt*1000:.1f} ms -> {field_ops/dt/1e9:.2f} Gfield-ops/s")
     except Exception as e:
         log("NTT bench failed:", e)
+
+    # secondary: the BASELINE 2^20-trace MiMC proof (TPU only — domain
+    # 2^24 needs device memory/throughput a CPU host run doesn't have)
+    try:
+        if jax.default_backend() in ("tpu", "axon") and not os.environ.get(
+            "STARK_TPU_BENCH_NO_MIMC"
+        ):
+            from stark_anatomy_tpu.field.scalar import Field
+            from stark_anatomy_tpu.models.mimc import (
+                make_stark, prove_chain, verify_chain,
+            )
+
+            steps = 1 << 20
+            mimc, stark = make_stark(steps, 4, 64, 128)
+            t0 = time.time()
+            tz = stark.preprocess()
+            t_pre = time.time() - t0
+            x = Field.main().sample(b"bench-mimc")
+            t0 = time.time()
+            out, proof, _ = prove_chain(mimc, stark, x, tz)
+            t_prove = time.time() - t0
+            ok = verify_chain(mimc, stark, x, out, proof, tz.root)
+            log(
+                f"MiMC 2^20 trace: preprocess {t_pre:.1f}s prove {t_prove:.1f}s "
+                f"proof {len(proof)/1024:.0f} kB verify_ok={ok}"
+            )
+            log("mimc phases:\n" + stark.timer.report())
+    except Exception as e:
+        log("MiMC 2^20 bench failed:", e)
 
     print(
         json.dumps(

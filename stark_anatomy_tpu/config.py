@@ -64,5 +64,23 @@ class MeshConfig:
     def num_devices(self) -> int:
         return self.dp * self.sp
 
+    def build(self):
+        """Materialize a jax Mesh with these axes (raises if the process
+        has fewer than ``num_devices`` devices)."""
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < self.num_devices:
+            raise ValueError(
+                f"MeshConfig(dp={self.dp}, sp={self.sp}) needs "
+                f"{self.num_devices} devices, have {len(devices)}"
+            )
+        return Mesh(
+            np.array(devices[: self.num_devices]).reshape(self.dp, self.sp),
+            axis_names=("dp", "sp"),
+        )
+
 
 RPSSS_CONFIG = StarkConfig()  # the production signature parameters

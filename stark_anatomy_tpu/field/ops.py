@@ -211,10 +211,27 @@ def _mont_mul_compact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _stack(_cond_sub_p_rows(_rows(r), overflow))
 
 
+def _use_pallas() -> bool:
+    """Use the Pallas kernel on real TPU backends (trace-time decision).
+
+    Every intermediate of the ~800-op unrolled pipeline then lives in
+    VMEM/registers inside one Pallas program instead of relying on XLA
+    fusion; disable with STARK_TPU_NO_PALLAS=1.
+    """
+    from .pallas_kernels import pallas_available
+
+    return pallas_available()
+
+
 def _mont_mul_core(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch between the TPU-fused row form and the compact CPU form."""
+    """Dispatch: compact form (CPU), Pallas kernel (TPU, aligned shapes),
+    or the XLA-fused unrolled row form (fallback)."""
     if _use_compact():
         return _mont_mul_compact(a, b)
+    from .pallas_kernels import BLOCK, mont_mul_pallas_core
+
+    if _use_pallas() and a.shape[-1] % BLOCK == 0 and a.shape == b.shape:
+        return mont_mul_pallas_core(a, b)
     return _stack(_mont_mul_rows(_rows(a), _rows(b)))
 
 

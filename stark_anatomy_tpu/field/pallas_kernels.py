@@ -121,14 +121,17 @@ def _mm_kernel(a_ref, b_ref, o_ref):
     o_ref[0, :, :] = jnp.stack(rr, axis=0)
 
 
-@jax.jit
-def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Pallas Montgomery multiply; inputs (..., NLIMBS, n) with n a
-    multiple of BLOCK (caller guarantees)."""
+def mont_mul_pallas_core(
+    a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas Montgomery multiply on equal-shape (..., NLIMBS, n) inputs
+    with n a multiple of BLOCK.  Traceable (usable inside outer jits /
+    scans — this IS the hot-path lowering on TPU, see field/ops.py
+    _mont_mul_core); ``interpret=True`` runs the interpreter for CPU
+    correctness tests."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    a, b = jnp.broadcast_arrays(jnp.asarray(a, jnp.uint32), jnp.asarray(b, jnp.uint32))
     shape = a.shape
     n = shape[-1]
     batch = int(np.prod(shape[:-2], dtype=np.int64)) if len(shape) > 2 else 1
@@ -145,8 +148,16 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         grid=grid,
         in_specs=[spec, spec],
         out_specs=spec,
+        interpret=interpret,
     )(a3, b3)
     return out.reshape(shape)
+
+
+@jax.jit
+def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Standalone jitted wrapper around :func:`mont_mul_pallas_core`."""
+    a, b = jnp.broadcast_arrays(jnp.asarray(a, jnp.uint32), jnp.asarray(b, jnp.uint32))
+    return mont_mul_pallas_core(a, b)
 
 
 def pallas_available() -> bool:
@@ -155,6 +166,6 @@ def pallas_available() -> bool:
     if os.environ.get("STARK_TPU_NO_PALLAS"):
         return False
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False

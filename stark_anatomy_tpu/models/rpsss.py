@@ -24,22 +24,13 @@ class RPSSS:
 
     stark_class = Stark
 
-    def __init__(self):
-        self.field = Field.main()
-        expansion_factor = 4
-        num_colinearity_checks = 64
-        security_level = 2 * num_colinearity_checks
+    def __init__(self, config=None):
+        from ..config import RPSSS_CONFIG
 
+        self.field = Field.main()
         self.rp = RescuePrime()
-        self.stark = self.stark_class(
-            self.field,
-            expansion_factor,
-            num_colinearity_checks,
-            security_level,
-            self.rp.m,
-            self.rp.N + 1,
-            transition_constraints_degree=3,
-        )
+        self.config = config or RPSSS_CONFIG
+        self.stark = self.stark_class.from_config(self.config, self.field)
 
     def _air(self):
         # symbolic constraints are proof-independent; the rhs**3 expansion

@@ -83,6 +83,22 @@ class StarkParams:
             self.num_colinearity_checks,
         )
 
+    @classmethod
+    def from_config(cls, config, field: Optional[Field] = None, **kwargs):
+        """Construct from a frozen :class:`stark_anatomy_tpu.config.StarkConfig`
+        (works for Stark, FastStark and ShardedFastStark alike — extra
+        kwargs like ``mesh=`` pass through)."""
+        return cls(
+            field or Field.main(),
+            config.expansion_factor,
+            config.num_colinearity_checks,
+            config.security_level,
+            config.num_registers,
+            config.num_cycles,
+            transition_constraints_degree=config.transition_constraints_degree,
+            **kwargs,
+        )
+
     @property
     def omicron_domain(self) -> List[FieldElement]:
         """The full omicron domain, built lazily by iterated multiplication

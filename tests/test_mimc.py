@@ -7,6 +7,8 @@ run lives behind the slow marker / bench harness.
 
 import random
 
+import pytest
+
 from stark_anatomy_tpu.field.scalar import Field, FieldElement, P
 from stark_anatomy_tpu.models.mimc import (
     MiMC,
@@ -77,3 +79,39 @@ def test_proof_tampering_rejected():
     except Exception:
         ok = False  # a decode error is an acceptable rejection
     assert not ok
+
+
+@pytest.mark.slow
+def test_mimc_large_trace_end_to_end():
+    """BASELINE north-star shape: a fast_stark proof of a LONG MiMC chain
+    at full 128-bit parameters.  Step count adapts to the platform:
+    2^20 on TPU (the BASELINE target), 2^14 on CPU so the test stays
+    runnable in this environment (same code path, smaller domain);
+    override with STARK_TPU_MIMC_STEPS."""
+    import os
+    import time
+
+    import jax
+
+    default_steps = 1 << 20 if jax.default_backend() in ("tpu", "axon") else 1 << 14
+    steps = int(os.environ.get("STARK_TPU_MIMC_STEPS", default_steps))
+    mimc, stark = make_stark(steps, 4, 64, 128)
+
+    t0 = time.time()
+    tz = stark.preprocess()
+    t_pre = time.time() - t0
+    x = FieldElement(RNG.randrange(P), FIELD)
+    t0 = time.time()
+    out, proof, _ = prove_chain(mimc, stark, x, tz)
+    t_prove = time.time() - t0
+    t0 = time.time()
+    ok = verify_chain(mimc, stark, x, out, proof, tz.root)
+    t_verify = time.time() - t0
+    print(
+        f"\nMiMC 2^{steps.bit_length()-1}: preprocess {t_pre:.1f}s "
+        f"prove {t_prove:.1f}s verify {t_verify:.2f}s "
+        f"proof {len(proof)/1024:.0f} kB\n{stark.timer.report()}"
+    )
+    assert ok
+    # false-output rejection at scale
+    assert not verify_chain(mimc, stark, x, out + FIELD.one(), proof, tz.root)
