@@ -34,12 +34,25 @@ _TWO_INV = pow(2, P - 2, P)
 
 
 class BatchProver:
-    """Batched FastStark prover for the Rescue-Prime AIR."""
+    """Batched FastStark prover for the Rescue-Prime AIR.
 
-    def __init__(self, stark: FastStark, rp, transition_zerofier: TransitionZerofier):
+    With ``mesh`` given, proof inputs are placed batch-over-dp /
+    codeword-over-sp (parallel/mesh.py shardings) so the jitted phases run
+    data-parallel across the mesh; the host transcript loop is untouched
+    and proofs stay byte-compatible with the unsharded prover.
+    """
+
+    def __init__(
+        self,
+        stark: FastStark,
+        rp,
+        transition_zerofier: TransitionZerofier,
+        mesh=None,
+    ):
         self.stark = stark
         self.rp = rp
         self.tz = transition_zerofier
+        self.mesh = mesh
         self.field = Field.main()
         self.air = rp.transition_constraints(stark.omicron)
         self._phase1 = jax.jit(self._phase1_impl)
@@ -113,6 +126,16 @@ class BatchProver:
             ).reshape(NLIMBS, B, R, nrand),
             (1, 2, 0, 3),
         )
+        if self.mesh is not None and B % self.mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            from .mesh import proof_batch_sharding
+
+            sk_dev = jax.device_put(sk_dev, proof_batch_sharding(self.mesh))
+            rand_rows = jax.device_put(
+                rand_rows,
+                NamedSharding(self.mesh, Pspec("dp", None, None, None)),
+            )
         max_degree = stark.max_degree(self.air)
         rand_poly = jnp.transpose(
             device_from_ints(

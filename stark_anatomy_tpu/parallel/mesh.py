@@ -48,13 +48,13 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 
 def proof_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch of proof inputs: shard the batch axis over dp (and sp, so every
-    chip owns work even before codewords appear)."""
-    return NamedSharding(mesh, P(("dp", "sp")))
+    """Per-proof inputs laid out (NLIMBS, B): batch axis over dp."""
+    return NamedSharding(mesh, P(None, "dp"))
 
 
 def codeword_sharding(mesh: Mesh, batched: bool = True) -> NamedSharding:
-    """Codeword arrays (..., N, NLIMBS): batch over dp, domain over sp."""
+    """Codeword arrays in the limb-first layout (see field/ops.py):
+    (B, NLIMBS, N) batch over dp + domain over sp, or (NLIMBS, N)."""
     if batched:
-        return NamedSharding(mesh, P("dp", None, "sp", None))
-    return NamedSharding(mesh, P("sp", None))
+        return NamedSharding(mesh, P("dp", None, "sp"))
+    return NamedSharding(mesh, P(None, "sp"))

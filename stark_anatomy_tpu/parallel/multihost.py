@@ -1,0 +1,92 @@
+"""Multi-host (DCN) support: process initialization + scaling harness.
+
+SURVEY.md §5: the reference has no distributed communication of any kind;
+this framework's multi-host story is standard JAX SPMD — every host runs
+the same program, ``jax.distributed.initialize`` wires the processes into
+one system, and the SAME mesh/sharding code (mesh.py, sharded_stark.py,
+batch_prover.py) then spans all hosts: ``dp`` groups ride DCN-free (each
+proof's tensors stay within its shard group when dp aligns with hosts),
+``sp`` collectives ride ICI within a slice.
+
+The host-side transcript stays on a single controller: proof bytes are
+assembled from GATHERED canonical arrays (process 0), which is exactly
+the topology-invariance contract tests/test_topology_invariance.py pins.
+
+Launch (one command per host):
+
+    STARK_TPU_COORD=host0:1234 STARK_TPU_NUM_PROC=4 STARK_TPU_PROC_ID=k \
+        python your_prover.py
+
+or rely on the TPU-pod auto-detection (no env needed on Cloud TPU).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed from args or STARK_TPU_* env vars.
+
+    Returns True if multi-process mode was initialized, False when running
+    single-process (no coordinator configured) — callers need no branches,
+    all sharding code is identical either way.
+    """
+    import jax
+
+    coordinator = coordinator or os.environ.get("STARK_TPU_COORD")
+    num_processes = num_processes or int(os.environ.get("STARK_TPU_NUM_PROC", 0))
+    process_id = (
+        process_id
+        if process_id is not None
+        else int(os.environ.get("STARK_TPU_PROC_ID", -1))
+    )
+    if not coordinator or num_processes <= 1 or process_id < 0:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def is_controller() -> bool:
+    """True on the process that assembles transcripts/proof bytes."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def scaling_report(prove_fn, shard_counts, reps: int = 3):
+    """Measure prove throughput vs shard count (BASELINE: >= 80% efficiency
+    from 1 to N).  ``prove_fn(num_shards)`` runs one proving step on that
+    many shards and blocks until done; returns a list of dicts
+    {shards, seconds, speedup, efficiency} (printed by bench harnesses).
+    """
+    results = []
+    base = None
+    for s in shard_counts:
+        prove_fn(s)  # warm / compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            prove_fn(s)
+        dt = (time.perf_counter() - t0) / reps
+        if base is None:
+            base = dt
+        speedup = base / dt
+        results.append(
+            {
+                "shards": s,
+                "seconds": dt,
+                "speedup": speedup,
+                "efficiency": speedup / (s / shard_counts[0]),
+            }
+        )
+    return results

@@ -49,18 +49,50 @@ from .stark import Boundary, StarkParams
 
 class TransitionZerofier:
     """Preprocessing artifact (reference: fast_stark.py:36-40) extended with
-    the cached inverse codeword and Merkle tree."""
+    the cached inverse codeword and Merkle tree, and SERIALIZABLE — the
+    zerofier product tree is the dominant setup cost at large traces, so a
+    deployment computes it once and every prover process loads it
+    (SURVEY.md §5 checkpoint/resume)."""
+
+    FORMAT_VERSION = 1
 
     def __init__(self, coeffs, codeword, codeword_np, inv_codeword, tree):
-        self.coeffs = coeffs                  # device (T, NLIMBS)
-        self.codeword = codeword              # device (N_fri, NLIMBS) Montgomery
-        self.codeword_np = codeword_np        # canonical numpy (N_fri, NLIMBS)
-        self.inv_codeword = inv_codeword      # device (N_fri, NLIMBS)
+        self.coeffs = coeffs                  # device (L, T) Montgomery
+        self.codeword = codeword              # device (L, N_fri) Montgomery
+        self.codeword_np = codeword_np        # canonical numpy (N_fri, L)
+        self.inv_codeword = inv_codeword      # device (L, N_fri)
         self.tree = tree                      # MerkleTree
 
     @property
     def root(self) -> bytes:
         return self.tree.root
+
+    def save(self, path: str) -> None:
+        """Persist the artifact (coefficients + canonical codeword; the
+        derived device arrays and tree are rebuilt on load)."""
+        np.savez(
+            path,
+            version=self.FORMAT_VERSION,
+            coeffs=np.asarray(F.from_mont(self.coeffs)),
+            codeword_np=self.codeword_np,
+        )
+
+    @classmethod
+    def load(cls, path: str, merkle_from_canon=None) -> "TransitionZerofier":
+        import jax.numpy as _jnp
+
+        data = np.load(path)
+        if int(data["version"]) != cls.FORMAT_VERSION:
+            raise ValueError(
+                f"transition zerofier artifact version {int(data['version'])} "
+                f"!= {cls.FORMAT_VERSION}"
+            )
+        coeffs = F.to_mont(_jnp.asarray(data["coeffs"]))
+        codeword_np = data["codeword_np"]
+        codeword = F.to_mont(_jnp.asarray(codeword_np.T))
+        inv_codeword = F.batch_inv(codeword)
+        builder = merkle_from_canon or MerkleTree.from_limbs_paired
+        return cls(coeffs, codeword, codeword_np, inv_codeword, builder(codeword_np))
 
 
 class FastStark(StarkParams):
@@ -77,8 +109,16 @@ class FastStark(StarkParams):
     # ------------------------------------------------------------------
     # preprocessing
     # ------------------------------------------------------------------
-    def preprocess(self) -> TransitionZerofier:
-        """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i)."""
+    def preprocess(self, cache_path: Optional[str] = None) -> TransitionZerofier:
+        """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i).
+
+        With ``cache_path``, the artifact is loaded if present and saved
+        after computing otherwise (checkpoint/resume for large traces).
+        """
+        if cache_path is not None and os.path.exists(cache_path):
+            return TransitionZerofier.load(
+                cache_path, merkle_from_canon=self._merkle_from_canon
+            )
         from ..poly.host_ntt import host_zerofier
         from ..utils.convert import canonical_np
 
@@ -98,7 +138,10 @@ class FastStark(StarkParams):
         codeword_np = canonical_np(codeword)
         inv_codeword = F.batch_inv(codeword)
         tree = self._merkle_from_canon(codeword_np)
-        return TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
+        tz = TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
+        if cache_path is not None:
+            tz.save(cache_path)
+        return tz
 
     # ------------------------------------------------------------------
     # cached per-instance device tables

@@ -39,3 +39,33 @@ def test_batch_prove_verifies_individually():
             proof_stream_factory=lambda pr: SignatureProofStream.deserialize_with_document(pr, b"other"),
         )
         assert not bad
+
+
+def test_batch_prove_dp_sharded():
+    """Batch proving with inputs sharded batch-over-dp on a mesh: the
+    jitted phases run data-parallel; every proof still verifies under the
+    plain single-proof verifier."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from stark_anatomy_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)  # dp=2, sp=4
+    rp = RescuePrime()
+    stark = FastStark(FIELD, 4, 2, 4, rp.m, rp.N + 1, transition_constraints_degree=3)
+    tz = stark.preprocess()
+    prover = BatchProver(stark, rp, tz, mesh=mesh)
+
+    inputs = [FIELD.sample(bytes([40 + i])) for i in range(4)]
+    docs = [b"dp-doc-%d" % i for i in range(4)]
+    proofs = prover.prove_batch(inputs, [SignatureProofStream(d) for d in docs])
+
+    air = rp.transition_constraints(stark.omicron)
+    for i, inp in enumerate(inputs):
+        boundary = rp.boundary_constraints(rp.hash(inp))
+        assert stark.verify(
+            proofs[i], air, boundary, tz.root,
+            proof_stream_factory=lambda pr, d=docs[i]: SignatureProofStream.deserialize_with_document(pr, d),
+        ), f"dp-sharded batch proof {i} failed"

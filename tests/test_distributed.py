@@ -80,3 +80,21 @@ def test_sharded_fold_matches_local():
     xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp")))
     got = _fold_kernel(xs, u, alpha, two_inv)
     assert ints_from_device(got) == want
+
+
+def test_multihost_init_noop_single_process():
+    """init_distributed is a no-op without a coordinator; the controller
+    predicate and scaling harness work single-process."""
+    from stark_anatomy_tpu.parallel.multihost import (
+        init_distributed,
+        is_controller,
+        scaling_report,
+    )
+
+    assert init_distributed() is False
+    assert is_controller()
+
+    calls = []
+    report = scaling_report(lambda s: calls.append(s), [1, 2], reps=1)
+    assert [r["shards"] for r in report] == [1, 2]
+    assert report[0]["efficiency"] == 1.0

@@ -127,3 +127,26 @@ def test_from_config_and_mesh_config():
         mesh = MeshConfig(dp=2, sp=4).build()
         s3 = ShardedFastStark.from_config(cfg, mesh=mesh)
         assert s3.mesh is mesh
+
+
+def test_preprocess_artifact_roundtrip(tmp_path):
+    """The preprocessing artifact persists and reloads with the same root,
+    and a proof made against the loaded artifact verifies (SURVEY §5
+    checkpoint/resume)."""
+    rp, stark = setup_stark()
+    path = str(tmp_path / "tz.npz")
+    tz = stark.preprocess(cache_path=path)
+
+    rp2, stark2 = setup_stark()
+    tz2 = stark2.preprocess(cache_path=path)  # loads
+    assert tz2.root == tz.root
+    import numpy as np
+
+    assert np.array_equal(tz2.codeword_np, tz.codeword_np)
+
+    input_element = FIELD.sample(b"ckpt")
+    output_element = rp2.hash(input_element)
+    air = rp2.transition_constraints(stark2.omicron)
+    boundary = rp2.boundary_constraints(output_element)
+    proof = stark2.prove(rp2.trace(input_element), air, boundary, tz2)
+    assert stark2.verify(proof, air, boundary, tz.root)
