@@ -23,7 +23,15 @@ import jax
 import jax.numpy as jnp
 
 from ..field import ops as F
-from .domain import DOMAINS, coset_power_tables
+from .domain import DOMAINS, coset_power_tables, mont_const, power_table
+
+
+def _use_pallas_ntt(n: int) -> bool:
+    """Fused VMEM butterfly kernels on real TPU backends (trace-time)."""
+    from ..field.pallas_kernels import pallas_available
+    from ..field.pallas_ntt import fused_ok
+
+    return pallas_available() and fused_ok(n)
 
 
 def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -46,6 +54,11 @@ def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
     regardless of log2(n) — an unrolled loop would inline the ~800-op
     multiply log2(n) times and blow up XLA compile time.
     """
+    if _use_pallas_ntt(n):
+        from ..field.pallas_ntt import fused_stages, stage_twiddles
+
+        return fused_stages(x, stage_twiddles(powers, n))
+
     log_n = n.bit_length() - 1
     iota = jnp.arange(n, dtype=jnp.uint32)
     ms = jnp.asarray([1 << s for s in range(log_n)], dtype=jnp.uint32)
@@ -78,6 +91,79 @@ def ntt_core(values, bitrev, powers, n_inv=None):
 _ntt_core_jit = jax.jit(ntt_core)
 
 
+# ---------------------------------------------------------------------------
+# four-step (Bailey) path for large transforms on TPU: two rounds of fused
+# VMEM kernels + transposes instead of log2(n) HBM-bound stages
+# ---------------------------------------------------------------------------
+
+_FOUR_STEP_MIN = 1 << 14
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_tables(n: int, inverse: bool) -> dict:
+    """Device tables for the n = n1*n2 four-step NTT, built once per size."""
+    import numpy as np
+
+    from ..field.limbs import NLIMBS
+    from ..field.pallas_ntt import split_four_step, stage_twiddles
+
+    n1, n2 = split_four_step(n)
+    dom = DOMAINS.get(n)
+    d1, d2 = DOMAINS.get(n1), DOMAINS.get(n2)
+    pk = "inv_powers" if inverse else "fwd_powers"
+    idx = (
+        np.arange(n2, dtype=np.int64)[:, None] * np.arange(n1, dtype=np.int64)
+    ) % n
+    cross = jnp.moveaxis(
+        jnp.take(dom[pk], jnp.asarray(idx.reshape(-1)), axis=-1).reshape(
+            NLIMBS, n2, n1
+        ),
+        0,
+        1,
+    )
+    return {
+        "n1": n1,
+        "n2": n2,
+        "bitrev1": d1["bitrev"],
+        "w1": stage_twiddles(d1[pk], n1),
+        "cross": cross,
+        "bitrev2": d2["bitrev"],
+        "w2": stage_twiddles(d2[pk], n2),
+        "n_inv": dom["n_inv"],
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2"))
+def _four_step_jit(x, bitrev1, w1, cross, bitrev2, w2, n_inv, n1, n2):
+    from ..field.pallas_ntt import four_step_core
+
+    out = four_step_core(x, bitrev1, w1, cross, bitrev2, w2, n1, n2)
+    if n_inv is not None:
+        out = F.mont_mul(out, n_inv)
+    return out
+
+
+def _four_step_ok(n: int) -> bool:
+    from ..field.pallas_kernels import pallas_available
+
+    return pallas_available() and n >= _FOUR_STEP_MIN and n <= (1 << 24)
+
+
+def _four_step_ntt(values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    t = _four_step_tables(n := values.shape[-1], inverse)
+    return _four_step_jit(
+        values,
+        t["bitrev1"],
+        t["w1"],
+        t["cross"],
+        t["bitrev2"],
+        t["w2"],
+        t["n_inv"] if inverse else None,
+        t["n1"],
+        t["n2"],
+    )
+
+
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations on <omega_n> (natural order).
 
@@ -88,6 +174,8 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     assert n & (n - 1) == 0, "NTT length must be a power of two"
     if n == 1:
         return values
+    if _four_step_ok(n):
+        return _four_step_ntt(values, inverse)
     dom = DOMAINS.get(n)
     powers = dom["inv_powers"] if inverse else dom["fwd_powers"]
     n_inv = dom["n_inv"] if inverse else None
@@ -119,6 +207,15 @@ def _lde_core(padded, scale_tab, bitrev, powers, order):
     return ntt_core(F.mont_mul(padded, scale_tab), bitrev, powers)
 
 
+@functools.partial(jax.jit, static_argnames=("n1", "n2"))
+def _lde_four_step_jit(padded, scale_tab, bitrev1, w1, cross, bitrev2, w2, n1, n2):
+    from ..field.pallas_ntt import four_step_core
+
+    return four_step_core(
+        F.mont_mul(padded, scale_tab), bitrev1, w1, cross, bitrev2, w2, n1, n2
+    )
+
+
 def coset_evaluate(coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
     """Low-degree extension: evaluate on the coset offset * <omega_order>.
 
@@ -126,8 +223,21 @@ def coset_evaluate(coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
     scale by the offset then a length-``order`` NTT.
     """
     padded = _pad_coeffs(coeffs, order)
-    dom = DOMAINS.get(order)
     scale_tab, _ = coset_power_tables(offset, order)
+    if _four_step_ok(order):
+        t = _four_step_tables(order, False)
+        return _lde_four_step_jit(
+            padded,
+            scale_tab,
+            t["bitrev1"],
+            t["w1"],
+            t["cross"],
+            t["bitrev2"],
+            t["w2"],
+            t["n1"],
+            t["n2"],
+        )
+    dom = DOMAINS.get(order)
     return _lde_core(padded, scale_tab, dom["bitrev"], dom["fwd_powers"], order)
 
 
@@ -140,8 +250,10 @@ def _coset_interp_core(values, inv_scale_tab, bitrev, inv_powers, n_inv):
 def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Inverse of coset_evaluate at the same order."""
     n = values.shape[-1]
-    dom = DOMAINS.get(n)
     _, inv_tab = coset_power_tables(offset, n)
+    if _four_step_ok(n):
+        return F.mont_mul(ntt(values, inverse=True), inv_tab)
+    dom = DOMAINS.get(n)
     return _coset_interp_core(values, inv_tab, dom["bitrev"], dom["inv_powers"], dom["n_inv"])
 
 
@@ -221,6 +333,48 @@ def zerofier(points: jnp.ndarray) -> jnp.ndarray:
     for c in chunks[1:]:
         acc = poly_multiply(acc, c)
     return acc
+
+
+def prefix_zerofier(root: int, count: int) -> jnp.ndarray:
+    """Zerofier of the first ``count`` powers of ``root``: prod_{i<count}(x - root^i).
+
+    Splits by index parity: even indices are the first ceil(c/2) powers of
+    root^2, odd indices the same set scaled by root —
+    Z_c(x) = Z_even(x) * root^b * Z_odd(x / root).  One polynomial multiply
+    per level instead of the balanced product tree's 2^k per level, so the
+    total work is ~2 top-level NTTs.  This is THE preprocessing kernel for
+    large traces (the transition zerofier over the first T-1 omicron-domain
+    points, reference: fast_stark.py:36-40 via fast_zerofier ntt.py:66-80).
+
+    Returns (NLIMBS, count+1) Montgomery coefficients (monic).
+    """
+    from ..field.scalar import P
+    from .domain import mont_const
+
+    if count <= 1024:
+        from ..poly.host_ntt import host_zerofier
+        from ..utils.convert import device_from_ints
+
+        pts, acc = [], 1
+        for _ in range(count):
+            pts.append(acc)
+            acc = acc * root % P
+        return device_from_ints(host_zerofier(pts))
+
+    hi = (count + 1) // 2
+    lo = count // 2
+    root2 = root * root % P
+    even = prefix_zerofier(root2, hi)                    # (L, hi+1)
+    if lo == hi:
+        odd = even
+    else:
+        odd = prefix_zerofier(root2, lo)                 # (L, lo+1)
+    # scale: prod_{t<lo}(x - root * (root^2)^t) = root^lo * Z_lo(x / root):
+    # coefficient i picks up root^(lo - i)
+    root_inv = pow(root, P - 2, P)
+    scale = F.mont_mul(power_table(root_inv, lo + 1), mont_const(pow(root, lo, P)))
+    odd_scaled = F.mont_mul(odd, scale)
+    return poly_multiply(even, odd_scaled, out_len=count + 1)
 
 
 def _zerofier_pow2(points: jnp.ndarray) -> jnp.ndarray:

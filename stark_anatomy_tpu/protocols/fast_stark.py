@@ -100,6 +100,7 @@ class FastStark(StarkParams):
         super().__init__(*args, **kwargs)
         self._interp_cache = None
         self._bz_cache: Dict[tuple, tuple] = {}
+        self._xpow_cache: Dict[int, jnp.ndarray] = {}
         # per-phase wall-clock attribution; bench/tests read
         # ``self.timer.report()`` after prove (utils/profiling.py)
         from ..utils.profiling import PhaseTimer
@@ -129,9 +130,9 @@ class FastStark(StarkParams):
             pts = [e.value for e in self.omicron_powers(count)]
             coeffs = device_from_ints(host_zerofier(pts))
         else:
-            # large traces: device power table + device product tree —
-            # no O(count) host big-int work anywhere
-            coeffs = NTT.zerofier(self.omicron_powers_device(count))
+            # large traces: parity-split recursion — one poly multiply per
+            # level (~2 full NTTs total) instead of a full product tree
+            coeffs = NTT.prefix_zerofier(self.omicron.value, count)
         codeword = NTT.coset_evaluate(
             coeffs, self.generator.value, self.fri_domain_length
         )
@@ -162,7 +163,7 @@ class FastStark(StarkParams):
             pts = [e.value for e in self.omicron_powers(n)]
             zn = device_from_ints(host_zerofier(pts))          # (L, n+1)
         else:
-            zn = NTT.zerofier(self.omicron_powers_device(n))   # (L, n+1)
+            zn = NTT.prefix_zerofier(self.omicron.value, n)    # (L, n+1)
 
         # Z_n' evaluated on <omega_M>, first n entries, inverted
         # derivative: (k+1) * z_{k+1}
@@ -241,6 +242,23 @@ class FastStark(StarkParams):
         a = F.mont_mul(a, t["m_const"])
         a_lde = self._lde(a, self.generator.value, N)           # (..., R, L, N)
         return F.mont_mul(F.mont_mul(t["zn_fri"], a_lde), t["inv_xm"])
+
+    def _x_lde_pow(self, e: int) -> jnp.ndarray:
+        """Codeword of x^e on the FRI coset, closed form:
+        (g*omega^j)^e = g^e * omega^(j*e mod N) — one gather from the domain
+        power table instead of mont_pow's ~2*bits(e) full-array multiplies
+        (at N = 2^23 and e ~ 2^22 that is the difference between one HBM
+        pass and ~10 GB of traffic per degree-adjustment shift)."""
+        e = int(e)
+        if e not in self._xpow_cache:
+            N = self.fri_domain_length
+            tab = DOMAINS.get(N)["fwd_powers"]
+            idx = (np.arange(N, dtype=np.int64) * (e % N)) % N
+            self._xpow_cache[e] = F.mont_mul(
+                jnp.take(tab, jnp.asarray(idx), axis=-1),
+                mont_const(pow(self.generator.value, e, P)),
+            )
+        return self._xpow_cache[e]
 
     def _boundary_tables(self, boundary: Boundary):
         """FRI-domain codewords of the boundary zerofiers (inverted) and
@@ -390,10 +408,10 @@ class FastStark(StarkParams):
             tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
             bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
             tq_shift = jnp.stack(
-                [F.mont_pow(t["x_lde"], max_degree - b) for b in tq_bounds]
+                [self._x_lde_pow(max_degree - b) for b in tq_bounds]
             )
             bq_shift = jnp.stack(
-                [F.mont_pow(t["x_lde"], max_degree - b) for b in bq_bounds]
+                [self._x_lde_pow(max_degree - b) for b in bq_bounds]
             )
             sh_tq = F.mont_mul(tq_shift, tq_lde)
             sh_bq = F.mont_mul(bq_shift, bq_lde)
