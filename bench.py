@@ -87,8 +87,10 @@ def main():
         # ~N/2*log2(N) butterfly multiplies + adds/subs
         field_ops = n // 2 * 20 * 3
         log(f"NTT 2^20: {dt*1000:.1f} ms -> {field_ops/dt/1e9:.2f} Gfield-ops/s")
-    except Exception as e:
-        log("NTT bench failed:", e)
+    except Exception:
+        import traceback
+
+        log("NTT bench failed:\n" + traceback.format_exc())
 
     # secondary: the BASELINE 2^20-trace MiMC proof (TPU only — domain
     # 2^24 needs device memory/throughput a CPU host run doesn't have)
@@ -116,8 +118,10 @@ def main():
                 f"proof {len(proof)/1024:.0f} kB verify_ok={ok}"
             )
             log("mimc phases:\n" + stark.timer.report())
-    except Exception as e:
-        log("MiMC 2^20 bench failed:", e)
+    except Exception:
+        import traceback
+
+        log("MiMC 2^20 bench failed:\n" + traceback.format_exc())
 
     print(
         json.dumps(

@@ -36,8 +36,10 @@ def power_table(base: int, n: int) -> jnp.ndarray:
 
     Built by doubling: each of the log2(n) steps appends
     powers[2^k + i] = powers[2^k] * powers[i], one vectorized multiply.
+    Arbitrary n >= 1 (over-built to the next power of two and sliced —
+    prefix zerofiers need odd lengths like count//2 + 1).
     """
-    assert n & (n - 1) == 0 and n >= 1
+    assert n >= 1
     table = F.mont_one(1)
     step = mont_const(base)
     size = 1
@@ -46,7 +48,7 @@ def power_table(base: int, n: int) -> jnp.ndarray:
         table = jnp.concatenate([table, chunk], axis=-1)
         step = F.mont_mul(step, step)  # base^(2*size)
         size *= 2
-    return table
+    return table[..., :n]
 
 
 def bit_reversal_permutation(n: int) -> np.ndarray:
@@ -59,33 +61,60 @@ def bit_reversal_permutation(n: int) -> np.ndarray:
     return rev
 
 
+class _Domain:
+    """Lazy per-size domain tables.  Each entry (fwd_powers, inv_powers,
+    bitrev, n_inv) is built on first subscript access: at n = 2^24 a single
+    direction's power table is 512 MB of HBM, so eagerly building all four
+    tables would double the resident footprint of every large transform
+    (the four-step path needs none of them)."""
+
+    def __init__(self, n: int, field: Field):
+        self.n = n
+        omega = field.primitive_nth_root(n).value
+        self._vals: dict = {"omega": omega, "omega_inv": pow(omega, P - 2, P)}
+
+    def __getitem__(self, key: str):
+        if key not in self._vals:
+            n = self.n
+            if key == "fwd_powers":
+                v = power_table(self._vals["omega"], n)
+            elif key == "inv_powers":
+                v = power_table(self._vals["omega_inv"], n)
+            elif key == "bitrev":
+                v = jnp.asarray(bit_reversal_permutation(n))
+            elif key == "n_inv":
+                v = mont_const(pow(n, P - 2, P))
+            else:
+                raise KeyError(key)
+            self._vals[key] = v
+        return self._vals[key]
+
+
 class DomainCache:
     """Per-process cache of NTT domain tables keyed by domain size."""
 
     def __init__(self):
-        self._cache: Dict[int, dict] = {}
+        self._cache: Dict[int, _Domain] = {}
         self._field = Field.main()
 
-    def get(self, n: int) -> dict:
+    def get(self, n: int) -> _Domain:
         if n not in self._cache:
-            omega = self._field.primitive_nth_root(n).value
-            omega_inv = pow(omega, P - 2, P)
-            self._cache[n] = {
-                "omega": omega,
-                "omega_inv": omega_inv,
-                "fwd_powers": power_table(omega, n),
-                "inv_powers": power_table(omega_inv, n),
-                "bitrev": jnp.asarray(bit_reversal_permutation(n)),
-                "n_inv": mont_const(pow(n, P - 2, P)),
-            }
+            self._cache[n] = _Domain(n, self._field)
         return self._cache[n]
 
 
 DOMAINS = DomainCache()
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=128)
+def coset_table(offset: int, n: int, inverse: bool = False) -> jnp.ndarray:
+    """Device table offset^{+-i} (NLIMBS, n), Montgomery form — one
+    direction only (the inverse table is only ever needed for coset
+    interpolation, so LDE-only callers don't pay for it)."""
+    base = pow(offset, P - 2, P) if inverse else offset
+    return power_table(base, n)
+
+
 def coset_power_tables(offset: int, n: int):
     """(offset^i, offset^-i) device tables (NLIMBS, n), Montgomery form."""
-    offset_inv = pow(offset, P - 2, P)
-    return power_table(offset, n), power_table(offset_inv, n)
+    return coset_table(offset, n, False), coset_table(offset, n, True)

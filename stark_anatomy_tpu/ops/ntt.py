@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..field import ops as F
-from .domain import DOMAINS, coset_power_tables, mont_const, power_table
+from .domain import DOMAINS, coset_table, mont_const, power_table
 
 
 def _use_pallas_ntt(n: int) -> bool:
@@ -102,34 +102,33 @@ _FOUR_STEP_MIN = 1 << 14
 @functools.lru_cache(maxsize=None)
 def _four_step_tables(n: int, inverse: bool) -> dict:
     """Device tables for the n = n1*n2 four-step NTT, built once per size."""
-    import numpy as np
-
-    from ..field.limbs import NLIMBS
+    from ..field.scalar import P
     from ..field.pallas_ntt import split_four_step, stage_twiddles
 
     n1, n2 = split_four_step(n)
     dom = DOMAINS.get(n)
     d1, d2 = DOMAINS.get(n1), DOMAINS.get(n2)
     pk = "inv_powers" if inverse else "fwd_powers"
-    idx = (
-        np.arange(n2, dtype=np.int64)[:, None] * np.arange(n1, dtype=np.int64)
-    ) % n
-    cross = jnp.moveaxis(
-        jnp.take(dom[pk], jnp.asarray(idx.reshape(-1)), axis=-1).reshape(
-            NLIMBS, n2, n1
-        ),
-        0,
-        1,
-    )
+    w = dom["omega_inv"] if inverse else dom["omega"]
+    # cross[j2, :, k1] = w^(j2*k1), built by doubling over j2: rows
+    # [s, 2s) equal rows [0, s) times the single row [w^(s*k1)]_{k1} —
+    # log2(n2) batched multiplies, never touching a full length-n power
+    # table (the previous full-table gather cost ~640 MB extra at 2^24)
+    block = F.mont_one(n1)[None]                        # (1, L, n1)
+    s = 1
+    while s < n2:
+        row = power_table(pow(w, s, P), n1)[None]       # (1, L, n1)
+        block = jnp.concatenate([block, F.mont_mul(block, row)], axis=0)
+        s *= 2
     return {
         "n1": n1,
         "n2": n2,
         "bitrev1": d1["bitrev"],
         "w1": stage_twiddles(d1[pk], n1),
-        "cross": cross,
+        "cross": block,
         "bitrev2": d2["bitrev"],
         "w2": stage_twiddles(d2[pk], n2),
-        "n_inv": dom["n_inv"],
+        "n_inv": mont_const(pow(n, P - 2, P)),
     }
 
 
@@ -198,8 +197,7 @@ def _pad_coeffs(coeffs: jnp.ndarray, order: int) -> jnp.ndarray:
 def coset_scale(coeffs: jnp.ndarray, offset: int, inverse: bool = False) -> jnp.ndarray:
     """Substitute x -> offset*x (coefficient-wise scale by offset^i)."""
     n = coeffs.shape[-1]
-    fwd, inv_tab = coset_power_tables(offset, n)
-    return F.mont_mul(coeffs, inv_tab if inverse else fwd)
+    return F.mont_mul(coeffs, coset_table(offset, n, inverse))
 
 
 @functools.partial(jax.jit, static_argnames=("order",))
@@ -223,7 +221,7 @@ def coset_evaluate(coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
     scale by the offset then a length-``order`` NTT.
     """
     padded = _pad_coeffs(coeffs, order)
-    scale_tab, _ = coset_power_tables(offset, order)
+    scale_tab = coset_table(offset, order)
     if _four_step_ok(order):
         t = _four_step_tables(order, False)
         return _lde_four_step_jit(
@@ -250,7 +248,7 @@ def _coset_interp_core(values, inv_scale_tab, bitrev, inv_powers, n_inv):
 def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Inverse of coset_evaluate at the same order."""
     n = values.shape[-1]
-    _, inv_tab = coset_power_tables(offset, n)
+    inv_tab = coset_table(offset, n, inverse=True)
     if _four_step_ok(n):
         return F.mont_mul(ntt(values, inverse=True), inv_tab)
     dom = DOMAINS.get(n)
@@ -335,6 +333,13 @@ def zerofier(points: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
+# crossover below which zerofiers are built with host big-int accumulation
+# (compiling a device product tree of many small distinct shapes costs more
+# than the arithmetic saves); shared by prefix_zerofier and the fast_stark
+# call sites so the thresholds cannot drift
+HOST_ZEROFIER_MAX = 2048
+
+
 def prefix_zerofier(root: int, count: int) -> jnp.ndarray:
     """Zerofier of the first ``count`` powers of ``root``: prod_{i<count}(x - root^i).
 
@@ -351,7 +356,7 @@ def prefix_zerofier(root: int, count: int) -> jnp.ndarray:
     from ..field.scalar import P
     from .domain import mont_const
 
-    if count <= 1024:
+    if count <= HOST_ZEROFIER_MAX:
         from ..poly.host_ntt import host_zerofier
         from ..utils.convert import device_from_ints
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import ntt as NTT
-from ..ops.domain import DOMAINS, coset_power_tables
+from ..ops.domain import DOMAINS, coset_table
 from ..protocols.fast_stark import FastStark, TransitionZerofier
 
 
@@ -78,7 +78,7 @@ class ShardedFastStark(FastStark):
         falls back to the in-place butterfly NTT (whose per-stage rolls
         become collective permutes) when the divisibility doesn't hold."""
         padded = self._shard_last(NTT._pad_coeffs(coeffs, order))
-        scale_tab, _ = coset_power_tables(offset, order)
+        scale_tab = coset_table(offset, order)
         dist = self._dist_ntt(order, padded.ndim - 2, inverse=False)
         if dist is not None:
             from ..field import ops as F
@@ -110,7 +110,7 @@ class ShardedFastStark(FastStark):
     def _interp_tables(self):
         t = super()._interp_tables()
         if not self._tables_placed:
-            for key in ("zn_fri", "inv_xm", "x_lde"):
+            for key in ("zn_over_xm", "x_lde"):
                 t[key] = self._shard_last(t[key])
             self._tables_placed = True
         return t

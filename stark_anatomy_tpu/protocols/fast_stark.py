@@ -124,7 +124,7 @@ class FastStark(StarkParams):
         from ..utils.convert import canonical_np
 
         count = self.original_trace_length - 1
-        if count <= 2048:
+        if count <= NTT.HOST_ZEROFIER_MAX:
             # small domains: host big-int accumulation avoids compiling a
             # device product tree of many distinct shapes
             pts = [e.value for e in self.omicron_powers(count)]
@@ -159,7 +159,7 @@ class FastStark(StarkParams):
         # Z_n: zerofier of the first n omicron-domain points
         from ..poly.host_ntt import host_zerofier
 
-        if n <= 2048:
+        if n <= NTT.HOST_ZEROFIER_MAX:
             pts = [e.value for e in self.omicron_powers(n)]
             zn = device_from_ints(host_zerofier(pts))          # (L, n+1)
         else:
@@ -181,24 +181,28 @@ class FastStark(StarkParams):
         inv_dz = F.batch_inv(dz_evals[..., :n])                        # (L, n)
 
         # Z_n on the FRI coset
-        zn_fri = NTT.coset_evaluate(zn, g, N)                  # (N, L)
+        zn_fri = NTT.coset_evaluate(zn, g, N)                  # (L, N)
 
-        # 1 / ((g*omega_N^j)^M - 1): period = expansion_factor
+        # 1 / ((g*omega_N^j)^M - 1): period = expansion_factor, so only E
+        # distinct values exist — computed as E host inversions and tiled
+        # on device (a host loop over all N big-ints took minutes at 2^24)
+        E = self.expansion_factor
         zeta = pow(self.omega.value, M, P)
         gM = pow(g, M, P)
-        vals = [
-            pow(gM * pow(zeta, j, P) % P - 1, P - 2, P)
-            for j in range(self.expansion_factor)
-        ]
-        inv_xm = device_from_ints(vals * (N // self.expansion_factor))
+        vals = [pow(gM * pow(zeta, j, P) % P - 1, P - 2, P) for j in range(E)]
+        inv_xm = jnp.tile(device_from_ints(vals), (1, N // E))
+
+        # fused table: _trace_lde multiplies by Z_n(x) and 1/(x^M - 1)
+        # back-to-back, so bake their product once (halves resident tables
+        # and saves one full-codeword multiply per register per proof)
+        zn_over_xm = F.mont_mul(zn_fri, inv_xm)
 
         # FRI-domain codeword of x itself: g * omega_N^j
         x_lde = F.mont_mul(DOMAINS.get(N)["fwd_powers"], mont_const(g))
 
         self._interp_cache = {
             "inv_dz": inv_dz,
-            "zn_fri": zn_fri,
-            "inv_xm": inv_xm,
+            "zn_over_xm": zn_over_xm,
             "x_lde": x_lde,
             "m_const": mont_const(M),
         }
@@ -241,7 +245,7 @@ class FastStark(StarkParams):
         a = jnp.roll(e, -1, axis=-1)                            # A = M * rot(e)
         a = F.mont_mul(a, t["m_const"])
         a_lde = self._lde(a, self.generator.value, N)           # (..., R, L, N)
-        return F.mont_mul(F.mont_mul(t["zn_fri"], a_lde), t["inv_xm"])
+        return F.mont_mul(a_lde, t["zn_over_xm"])
 
     def _x_lde_pow(self, e: int) -> jnp.ndarray:
         """Codeword of x^e on the FRI coset, closed form:
@@ -253,9 +257,14 @@ class FastStark(StarkParams):
         if e not in self._xpow_cache:
             N = self.fri_domain_length
             tab = DOMAINS.get(N)["fwd_powers"]
-            idx = (np.arange(N, dtype=np.int64) * (e % N)) % N
+            # index math on device: a host numpy arange at N = 2^24 is a
+            # 128 MB allocation per distinct exponent.  uint32 products wrap
+            # mod 2^32, and N | 2^32, so (j*e) & (N-1) is exact without x64.
+            idx = (
+                jnp.arange(N, dtype=jnp.uint32) * jnp.uint32(e % N)
+            ) & jnp.uint32(N - 1)
             self._xpow_cache[e] = F.mont_mul(
-                jnp.take(tab, jnp.asarray(idx), axis=-1),
+                jnp.take(tab, idx, axis=-1),
                 mont_const(pow(self.generator.value, e, P)),
             )
         return self._xpow_cache[e]
