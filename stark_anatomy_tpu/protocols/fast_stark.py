@@ -254,20 +254,25 @@ class FastStark(StarkParams):
         (at N = 2^23 and e ~ 2^22 that is the difference between one HBM
         pass and ~10 GB of traffic per degree-adjustment shift)."""
         e = int(e)
-        if e not in self._xpow_cache:
-            N = self.fri_domain_length
-            tab = DOMAINS.get(N)["fwd_powers"]
-            # index math on device: a host numpy arange at N = 2^24 is a
-            # 128 MB allocation per distinct exponent.  uint32 products wrap
-            # mod 2^32, and N | 2^32, so (j*e) & (N-1) is exact without x64.
-            idx = (
-                jnp.arange(N, dtype=jnp.uint32) * jnp.uint32(e % N)
-            ) & jnp.uint32(N - 1)
-            self._xpow_cache[e] = F.mont_mul(
-                jnp.take(tab, idx, axis=-1),
-                mont_const(pow(self.generator.value, e, P)),
-            )
-        return self._xpow_cache[e]
+        if e in self._xpow_cache:
+            return self._xpow_cache[e]
+        N = self.fri_domain_length
+        tab = DOMAINS.get(N)["fwd_powers"]
+        # index math on device: a host numpy arange at N = 2^24 is a
+        # 128 MB allocation per distinct exponent.  uint32 products wrap
+        # mod 2^32, and N | 2^32, so (j*e) & (N-1) is exact without x64.
+        idx = (
+            jnp.arange(N, dtype=jnp.uint32) * jnp.uint32(e % N)
+        ) & jnp.uint32(N - 1)
+        out = F.mont_mul(
+            jnp.take(tab, idx, axis=-1),
+            mont_const(pow(self.generator.value, e, P)),
+        )
+        # cache only at small domains: repeated proofs (RPSSS signing)
+        # reuse the table, but at N = 2^24 each entry is 512 MB of HBM
+        if N <= (1 << 22):
+            self._xpow_cache[e] = out
+        return out
 
     def _boundary_tables(self, boundary: Boundary):
         """FRI-domain codewords of the boundary zerofiers (inverted) and
@@ -379,6 +384,10 @@ class FastStark(StarkParams):
                 air_evaluator = compile_air(transition_constraints)
             constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)
             tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
+            # at N = 2^24 each full codeword is 512 MB of HBM: release the
+            # trace LDEs and raw constraint codewords as soon as the
+            # quotients exist (nothing downstream reads them)
+            del constraint_lde, trace_lde, next_lde
             _jax.block_until_ready(tq_lde)
 
         # randomizer polynomial
@@ -408,34 +417,47 @@ class FastStark(StarkParams):
             1 + 2 * num_constraints + 2 * R, proof_stream.prover_fiat_shamir()
         )
 
-        # weighted combination, entirely pointwise: x^shift * q becomes
-        # pow(x_lde, shift) (*) q; all W terms stacked and reduced by the
-        # scan-based weighted_sum kernel (transcript weight order:
-        # randomizer, per-constraint [tq, shifted tq], per-register
-        # [bq, shifted bq] — reference: fast_stark.py:130-145)
+        # weighted combination, entirely pointwise.  The transcript weight
+        # order is: randomizer, per-constraint [tq, shifted tq],
+        # per-register [bq, shifted bq] (reference: fast_stark.py:130-145),
+        # but algebraically  w_a*q + w_b*x^s*q = q * (w_a + w_b*x^s),  so
+        # each quotient is multiplied ONCE by a fused weight codeword —
+        # never materializing the shifted codewords or a (W, L, N) stacked
+        # term tensor (at N = 2^24 that stack alone is W/2 GB of HBM).
+        # Field sums are exact, so the combination VALUES (and hence the
+        # proof bytes) are identical to the unfused form.
         with self.timer.phase("combination"):
             tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
             bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
-            tq_shift = jnp.stack(
-                [self._x_lde_pow(max_degree - b) for b in tq_bounds]
-            )
-            bq_shift = jnp.stack(
-                [self._x_lde_pow(max_degree - b) for b in bq_bounds]
-            )
-            sh_tq = F.mont_mul(tq_shift, tq_lde)
-            sh_bq = F.mont_mul(bq_shift, bq_lde)
-            terms = jnp.concatenate([
-                rand_lde[None],
-                jnp.stack([tq_lde, sh_tq], axis=1).reshape((-1,) + tq_lde.shape[1:]),
-                jnp.stack([bq_lde, sh_bq], axis=1).reshape((-1,) + bq_lde.shape[1:]),
-            ])                                                # (W, L, N)
-            w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
-            combo = F.weighted_sum(terms, w_dev)
+
+            def fused_weight(w_a, w_b, bound):
+                return F.add(
+                    mont_const(w_a.value),
+                    F.mont_mul(
+                        mont_const(w_b.value), self._x_lde_pow(max_degree - bound)
+                    ),
+                )
+
+            # eager per-term accumulation: each op is its own jitted kernel,
+            # so no XLA fusion-recompute chains form (see field_sum's note)
+            combo = F.mont_mul(rand_lde, mont_const(weights[0].value))
+            idx = 1
+            for s, b in enumerate(tq_bounds):
+                ws = fused_weight(weights[idx], weights[idx + 1], b)
+                combo = F.add(combo, F.mont_mul(tq_lde[s], ws))
+                idx += 2
+            for s, b in enumerate(bq_bounds):
+                ws = fused_weight(weights[idx], weights[idx + 1], b)
+                combo = F.add(combo, F.mont_mul(bq_lde[s], ws))
+                idx += 2
+            del ws
             _jax.block_until_ready(combo)
+        del tq_lde, bq_lde, rand_lde, rand_poly_dev
 
         # FRI proof over the combination codeword
         with self.timer.phase("fri"):
             indices = self.fri.prove(combo, proof_stream)
+        del combo
 
         # linked openings at quadrupled indices (reference: fast_stark.py:154-177)
         duplicated = indices + [
