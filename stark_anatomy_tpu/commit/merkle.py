@@ -152,6 +152,53 @@ class MerkleForest(MerkleTree):
         return cls(blocks)
 
 
+class ShardedRows:
+    """Element-major canonical rows of a codeword held as PER-SHARD host
+    blocks — the codeword is never concatenated into one host array.
+
+    Presents the same read interface the provers use on a monolithic
+    canonical array (``rows[i]``, ``rows.shape``, iteration), mapping a
+    global row index to (block, local index).  Blocks must be contiguous,
+    equal-sized slices in global order (a device-sharded codeword's
+    addressable shards).
+    """
+
+    __slots__ = ("blocks", "per", "shape")
+
+    def __init__(self, blocks: List[np.ndarray]):
+        self.blocks = blocks
+        self.per = blocks[0].shape[0]
+        assert all(b.shape == blocks[0].shape for b in blocks)
+        self.shape = (self.per * len(blocks),) + blocks[0].shape[1:]
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return self.blocks[i // self.per][i % self.per]
+
+    def __iter__(self):
+        for b in self.blocks:
+            yield from b
+
+    def paired_forest(self) -> MerkleForest:
+        """Paired-leaf commitment hashed per shard: leaf blocks join shard
+        s with shard s + S/2 (the global pairing i <-> i + n/2 falls on
+        exactly that shard pair), so every leaf/subtree hash reads only two
+        shard-local buffers; only subtree roots are stitched.  Bit-identical
+        to MerkleTree.from_limbs_paired over the concatenated rows."""
+        S = len(self.blocks)
+        assert S >= 2 and S & (S - 1) == 0
+        return MerkleForest(
+            [
+                NB.leaves_from_limb_pairs(
+                    np.concatenate([self.blocks[s], self.blocks[s + S // 2]])
+                )
+                for s in range(S // 2)
+            ]
+        )
+
+
 class Merkle:
     """Stateless reference-compatible API (reference: merkle.py:3-44)."""
 

@@ -30,6 +30,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .limb_arith import (
+    add_rows as _add_rows_impl,
+    cond_sub_p_rows as _cond_sub_impl,
+    sub_mod_rows as _sub_mod_impl,
+    sub_rows as _sub_rows_impl,
+)
 from .limbs import LIMB_BITS, MASK, NLIMBS, NPRIME, ONE_MONT_LIMBS, int_to_limbs, R
 from .scalar import P
 
@@ -134,17 +140,9 @@ def _mont_mul_rows(ar: List[jnp.ndarray], br: List[jnp.ndarray]) -> List[jnp.nda
 
 
 def _cond_sub_p_rows(r: List[jnp.ndarray], overflow: jnp.ndarray) -> List[jnp.ndarray]:
-    """Reduce r (< 2p, possibly with a 2^128 overflow bit) into [0, p)."""
-    d = []
-    borrow = None
-    for k in range(NLIMBS):
-        tmp = r[k] + _ONE16 - _P_LIMBS[k]
-        if borrow is not None:
-            tmp = tmp - borrow
-        d.append(tmp & _MASK)
-        borrow = _ONE - (tmp >> LIMB_BITS)
-    ge = jnp.logical_or(overflow.astype(bool), borrow == 0)
-    return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
+    """Reduce r (< 2p, possibly with a 2^128 overflow bit) into [0, p)
+    (shared implementation: field/limb_arith.py)."""
+    return _cond_sub_impl(r, overflow)
 
 
 # ---------------------------------------------------------------------------
@@ -244,28 +242,8 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _mont_mul_core(a, b)
 
 
-def _add_rows(ar, br):
-    out = []
-    carry = None
-    for k in range(NLIMBS):
-        acc = ar[k] + br[k]
-        if carry is not None:
-            acc = acc + carry
-        out.append(acc & _MASK)
-        carry = acc >> LIMB_BITS
-    return out, carry
-
-
-def _sub_rows(ar, br):
-    out = []
-    borrow = None
-    for k in range(NLIMBS):
-        tmp = ar[k] + _ONE16 - br[k]
-        if borrow is not None:
-            tmp = tmp - borrow
-        out.append(tmp & _MASK)
-        borrow = _ONE - (tmp >> LIMB_BITS)
-    return out, borrow
+_add_rows = _add_rows_impl
+_sub_rows = _sub_rows_impl
 
 
 def _add_core(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -314,20 +292,9 @@ def weighted_sum(terms: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Field subtraction."""
+    """Field subtraction (shared row math: field/limb_arith.py)."""
     a, b = jnp.broadcast_arrays(jnp.asarray(a, _U32), jnp.asarray(b, _U32))
-    ar, br = _rows(a), _rows(b)
-    d, borrow = _sub_rows(ar, br)
-    dp = []
-    carry = None
-    for k in range(NLIMBS):
-        acc = d[k] + _P_LIMBS[k]
-        if carry is not None:
-            acc = acc + carry
-        dp.append(acc & _MASK)
-        carry = acc >> LIMB_BITS
-    neg_needed = borrow.astype(bool)
-    return _stack([jnp.where(neg_needed, dp[k], d[k]) for k in range(NLIMBS)])
+    return _stack(_sub_mod_impl(_rows(a), _rows(b)))
 
 
 def neg(a: jnp.ndarray) -> jnp.ndarray:

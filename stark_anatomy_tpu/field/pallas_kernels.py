@@ -19,13 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .limb_arith import P_LIMBS as _P_LIMBS, cond_sub_p_rows
 from .limbs import LIMB_BITS, MASK, NLIMBS, NPRIME, int_to_limbs
 from .scalar import P
 
 _MASK = np.uint32(MASK)
-_ONE16 = np.uint32(1 << LIMB_BITS)
-_ONE = np.uint32(1)
-_P_LIMBS = [np.uint32(v) for v in int_to_limbs(P)]
 _NP_LIMBS = [np.uint32(v) for v in int_to_limbs(NPRIME)]
 
 # lane-dimension block size; element counts in the framework are powers of
@@ -101,17 +99,7 @@ def _mont_mul_block(ar, br):
         carry = acc >> LIMB_BITS
     r = u_limbs[NLIMBS : 2 * NLIMBS]
     overflow = u_limbs[2 * NLIMBS] + carry
-
-    d = []
-    borrow = None
-    for k in range(NLIMBS):
-        tmp = r[k] + _ONE16 - _P_LIMBS[k]
-        if borrow is not None:
-            tmp = tmp - borrow
-        d.append(tmp & _MASK)
-        borrow = _ONE - (tmp >> LIMB_BITS)
-    ge = jnp.logical_or(overflow.astype(bool), borrow == 0)
-    return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
+    return cond_sub_p_rows(r, overflow)
 
 
 def _mm_kernel(a_ref, b_ref, o_ref):

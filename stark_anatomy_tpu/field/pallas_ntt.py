@@ -33,62 +33,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .limbs import LIMB_BITS, MASK, NLIMBS, int_to_limbs
+from .limb_arith import add_mod_rows as _add_mod, sub_mod_rows as _sub_mod
+from .limbs import NLIMBS
 from .pallas_kernels import _mont_mul_block
-from .scalar import P
-
-_MASK = np.uint32(MASK)
-_ONE16 = np.uint32(1 << LIMB_BITS)
-_ONE = np.uint32(1)
-_P_LIMBS = [np.uint32(v) for v in int_to_limbs(P)]
 
 # largest transform done as a single VMEM-resident kernel (lanes)
 MAX_FUSED = 8192
 MIN_FUSED = 128
 # cap on per-program block bytes (input only): G * NLIMBS * n * 4
 _BLOCK_BYTES = 1 << 18
-
-
-def _add_mod(ar, br):
-    out, carry = [], None
-    for k in range(NLIMBS):
-        acc = ar[k] + br[k]
-        if carry is not None:
-            acc = acc + carry
-        out.append(acc & _MASK)
-        carry = acc >> LIMB_BITS
-    return _cond_sub_p(out, carry)
-
-
-def _cond_sub_p(r, overflow):
-    d, borrow = [], None
-    for k in range(NLIMBS):
-        tmp = r[k] + _ONE16 - _P_LIMBS[k]
-        if borrow is not None:
-            tmp = tmp - borrow
-        d.append(tmp & _MASK)
-        borrow = _ONE - (tmp >> LIMB_BITS)
-    ge = jnp.logical_or(overflow.astype(bool), borrow == 0)
-    return [jnp.where(ge, d[k], r[k]) for k in range(NLIMBS)]
-
-
-def _sub_mod(ar, br):
-    d, borrow = [], None
-    for k in range(NLIMBS):
-        tmp = ar[k] + _ONE16 - br[k]
-        if borrow is not None:
-            tmp = tmp - borrow
-        d.append(tmp & _MASK)
-        borrow = _ONE - (tmp >> LIMB_BITS)
-    dp, carry = [], None
-    for k in range(NLIMBS):
-        acc = d[k] + _P_LIMBS[k]
-        if carry is not None:
-            acc = acc + carry
-        dp.append(acc & _MASK)
-        carry = acc >> LIMB_BITS
-    neg = borrow.astype(bool)
-    return [jnp.where(neg, dp[k], d[k]) for k in range(NLIMBS)]
 
 
 def _stages_kernel(n_stages, has_post, x_ref, w_ref, *rest):

@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,10 +26,15 @@ from ..field.scalar import P, Field
 
 
 def mont_const(value: int) -> jnp.ndarray:
-    """Host int -> (NLIMBS, 1) Montgomery-form broadcastable constant."""
-    return jnp.asarray(
-        np.array(int_to_limbs(value % P * R % P), dtype=np.uint32)
-    )[:, None]
+    """Host int -> (NLIMBS, 1) Montgomery-form broadcastable constant.
+
+    Always concrete, even when called during an outer jit trace — table
+    constants must never become tracers (they are cached process-wide).
+    """
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(
+            np.array(int_to_limbs(value % P * R % P), dtype=np.uint32)
+        )[:, None]
 
 
 def power_table(base: int, n: int) -> jnp.ndarray:
@@ -37,18 +43,21 @@ def power_table(base: int, n: int) -> jnp.ndarray:
     Built by doubling: each of the log2(n) steps appends
     powers[2^k + i] = powers[2^k] * powers[i], one vectorized multiply.
     Arbitrary n >= 1 (over-built to the next power of two and sliced —
-    prefix zerofiers need odd lengths like count//2 + 1).
+    prefix zerofiers need odd lengths like count//2 + 1).  Built under
+    ensure_compile_time_eval so lazily-triggered construction inside an
+    outer jit trace still yields concrete (cacheable) arrays.
     """
     assert n >= 1
-    table = F.mont_one(1)
-    step = mont_const(base)
-    size = 1
-    while size < n:
-        chunk = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
-        table = jnp.concatenate([table, chunk], axis=-1)
-        step = F.mont_mul(step, step)  # base^(2*size)
-        size *= 2
-    return table[..., :n]
+    with jax.ensure_compile_time_eval():
+        table = F.mont_one(1)
+        step = mont_const(base)
+        size = 1
+        while size < n:
+            chunk = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
+            table = jnp.concatenate([table, chunk], axis=-1)
+            step = F.mont_mul(step, step)  # base^(2*size)
+            size *= 2
+        return table[..., :n]
 
 
 def bit_reversal_permutation(n: int) -> np.ndarray:
@@ -81,7 +90,8 @@ class _Domain:
             elif key == "inv_powers":
                 v = power_table(self._vals["omega_inv"], n)
             elif key == "bitrev":
-                v = jnp.asarray(bit_reversal_permutation(n))
+                with jax.ensure_compile_time_eval():
+                    v = jnp.asarray(bit_reversal_permutation(n))
             elif key == "n_inv":
                 v = mont_const(pow(n, P - 2, P))
             else:

@@ -179,17 +179,14 @@ class BatchProver:
             weight_cols.append(jnp.stack([mont_const(w.value) for w in ws]))
         weights = jnp.stack(weight_cols)                   # (B, W, L, 1)
 
-        t = stark._interp_tables()
         tq_bounds = stark.transition_quotient_degree_bounds(self.air)
         bq_bounds = stark.boundary_quotient_degree_bounds(
             stark.randomized_trace_length, boundaries[0]
         )
-        tq_shift = jnp.stack(
-            [F.mont_pow(t["x_lde"], max_degree - b) for b in tq_bounds]
-        )
-        bq_shift = jnp.stack(
-            [F.mont_pow(t["x_lde"], max_degree - b) for b in bq_bounds]
-        )
+        # closed-form x^shift codewords (one gather each) — mont_pow here
+        # was ~2*bits(e) full-array multiplies per shift (round-2 verdict)
+        tq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in tq_bounds])
+        bq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in bq_bounds])
 
         combos = self._phase2(bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift)
 

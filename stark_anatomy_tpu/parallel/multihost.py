@@ -64,6 +64,62 @@ def is_controller() -> bool:
     return jax.process_index() == 0
 
 
+def make_mimc_scaling_prover(
+    steps: int, num_colinearity_checks: int = 4, security_level: int = 8
+):
+    """Build ``prove_fn(num_shards)`` for :func:`scaling_report` that runs a
+    REAL end-to-end ShardedFastStark MiMC proof (device NTT/AIR/FRI + host
+    Merkle + transcript assembly) on a (dp=1, sp=num_shards) mesh.
+
+    Provers and preprocessing artifacts are built once per shard count at
+    factory time so the timed region is proving only.  The same factory
+    runs unchanged on a real pod slice (devices come from jax.devices()).
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ..field.scalar import Field, FieldElement, P as PRIME
+    from ..models.mimc import MiMC, prove_chain
+    from ..protocols.fast_stark import FastStark
+    from .sharded_stark import ShardedFastStark
+
+    field = Field.main()
+    mimc = MiMC(steps)
+    x = FieldElement(field.sample(b"scaling-bench").value, field)
+    provers = {}
+
+    def get(s: int):
+        if s not in provers:
+            args = (
+                field,
+                4,
+                num_colinearity_checks,
+                security_level,
+                mimc.m,
+                steps + 1,
+            )
+            if s == 1:
+                stark = FastStark(*args, transition_constraints_degree=3)
+            else:
+                mesh = Mesh(
+                    np.array(jax.devices()[:s]).reshape(1, s),
+                    axis_names=("dp", "sp"),
+                )
+                stark = ShardedFastStark(
+                    *args, transition_constraints_degree=3, mesh=mesh
+                )
+            provers[s] = (stark, stark.preprocess())
+        return provers[s]
+
+    def prove_fn(s: int):
+        stark, tz = get(s)
+        _, proof, _ = prove_chain(mimc, stark, x, tz)
+        return proof
+
+    return prove_fn
+
+
 def scaling_report(prove_fn, shard_counts, reps: int = 3):
     """Measure prove throughput vs shard count (BASELINE: >= 80% efficiency
     from 1 to N).  ``prove_fn(num_shards)`` runs one proving step on that

@@ -94,9 +94,9 @@ class ShardedFastStark(FastStark):
         return NTT.intt(values)
 
     def _merkle_from_canon(self, canon):
-        """Per-shard Merkle forest (commit/merkle.py:MerkleForest): each
-        shard hashes + reduces its leaf block locally, only subtree roots
-        cross shards.  Bit-identical to the monolithic tree."""
+        """Per-shard Merkle forest over an ALREADY-HOST canonical array
+        (used by preprocess, whose artifact keeps the full codeword anyway).
+        Bit-identical to the monolithic tree."""
         import numpy as np
 
         from ..commit.merkle import MerkleForest, MerkleTree
@@ -106,6 +106,43 @@ class ShardedFastStark(FastStark):
         if S > 1 and half % S == 0:
             return MerkleForest.from_limbs_paired_sharded(np.asarray(canon), S)
         return MerkleTree.from_limbs_paired(canon)
+
+    def _commit_rows(self, codeword: jnp.ndarray):
+        """Shard-local commitment: canonicalize WHERE THE SHARDS LIVE
+        (from_mont is elementwise, so XLA keeps it shard-local), pull each
+        shard's block to host separately, and hash the paired-leaf forest
+        from the per-shard blocks — the full codeword never exists in one
+        host array; only subtree roots are stitched (SURVEY.md §2 parallel
+        table row 4)."""
+        import numpy as np
+
+        from ..commit.merkle import ShardedRows
+        from ..field import ops as F
+
+        n = codeword.shape[-1]
+        canon_dev = F.from_mont(codeword)
+        # one block per DISTINCT codeword-axis shard (other mesh axes
+        # replicate; dedupe by slice offset)
+        by_off = {}
+        for sh in canon_dev.addressable_shards:
+            sl = sh.index[-1] if canon_dev.ndim else slice(None)
+            off = sl.start or 0
+            if off not in by_off:
+                by_off[off] = sh
+        offs = sorted(by_off)
+        S = len(offs)
+        # shard-local hashing needs >= 2 aligned shards (the i <-> i+n/2
+        # pairing joins shard s with shard s + S/2) of equal pow2 size
+        if S < 2 or S & (S - 1) or n % S or (n // S) & (n // S - 1):
+            return super()._commit_rows(codeword)
+        blocks = [
+            np.ascontiguousarray(np.moveaxis(np.asarray(by_off[o].data), -2, -1))
+            for o in offs
+        ]
+        if any(b.shape[0] != n // S for b in blocks):
+            return super()._commit_rows(codeword)
+        rows = ShardedRows(blocks)
+        return rows, rows.paired_forest()
 
     def _interp_tables(self):
         t = super()._interp_tables()
@@ -126,9 +163,9 @@ class ShardedFastStark(FastStark):
             tz.codeword = self._shard_last(tz.codeword)
             tz._sharded_for = self.mesh
         # FRI inverse-domain table: sharded so folds stay shard-local;
-        # FRI layer commitments through the per-shard forest
+        # FRI layer commitments shard-local end-to-end (no full gather)
         self.fri._u0 = self._shard_last(self.fri._initial_u())
-        self.fri.tree_builder = self._merkle_from_canon
+        self.fri.commit_codeword = self._commit_rows
         return super().prove(
             trace, transition_constraints, boundary, tz, proof_stream, **kwargs
         )

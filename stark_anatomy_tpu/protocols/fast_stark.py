@@ -96,6 +96,15 @@ class TransitionZerofier:
 
 
 class FastStark(StarkParams):
+    # randomizer-polynomial sampling crossover: above this many
+    # coefficients, prove() switches from per-element host sampling
+    # (reference parity, stark.py:117) to the bulk device path
+    # (utils/rand.py).  The switch changes the randomness SOURCE — proof
+    # bytes differ for a fixed urandom stream across the boundary — so it
+    # is an explicit, documented instance knob rather than a buried magic
+    # number; tests force it low to cover the bulk branch.
+    bulk_randomizer_threshold: int = 4096
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._interp_cache = None
@@ -228,6 +237,17 @@ class FastStark(StarkParams):
         """Commitment hook: paired-leaf tree (the sharded prover
         substitutes the per-shard MerkleForest — identical bytes)."""
         return MerkleTree.from_limbs_paired(canon)
+
+    def _commit_rows(self, codeword: jnp.ndarray):
+        """Commit one (L, N) device codeword.  Returns (rows, tree): rows
+        is an element-major canonical row accessor used for openings —
+        a host numpy array here; the sharded prover substitutes per-shard
+        ShardedRows blocks so the full codeword never lands in one host
+        array (SURVEY.md §2 parallel table row 4)."""
+        from ..utils.convert import canonical_np
+
+        canon = canonical_np(codeword)
+        return canon, self._merkle_from_canon(canon)
 
     def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
         """(..., R, L, n) trace columns -> (..., R, L, N_fri) LDE.
@@ -365,16 +385,18 @@ class FastStark(StarkParams):
             _jax.block_until_ready(trace_lde)
 
         # boundary quotients, committed
-        from ..utils.convert import canonical_np, int_from_row
+        from ..utils.convert import int_from_row
 
         with self.timer.phase("boundary_quotients"):
             inv_bz, interp = self._boundary_tables(boundary)
             bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)  # (R, L, N)
-            bq_np = canonical_np(bq_lde)                         # (R, N, L) rows
+            _jax.block_until_ready(bq_lde)
         with self.timer.phase("commit_bq"):
             bq_trees: List[MerkleTree] = []
+            bq_rows = []                                      # opening sources
             for s in range(R):
-                tree = self._merkle_from_canon(bq_np[s])
+                rows, tree = self._commit_rows(bq_lde[s])
+                bq_rows.append(rows)
                 bq_trees.append(tree)
                 proof_stream.push(tree.root)
 
@@ -393,7 +415,7 @@ class FastStark(StarkParams):
         # randomizer polynomial
         max_degree = self.max_degree(transition_constraints)
         with self.timer.phase("randomizer_poly"):
-            if max_degree + 1 > 4096:
+            if max_degree + 1 > self.bulk_randomizer_threshold:
                 # large traces: bulk device sampling (utils/rand.py) — the
                 # per-element host path would cost minutes at 2^22 coeffs
                 from ..utils.rand import bulk_random_mont
@@ -406,9 +428,9 @@ class FastStark(StarkParams):
                 ]
                 rand_poly_dev = device_from_ints(rand_coeffs)
             rand_lde = self._lde(rand_poly_dev, self.generator.value, N)
-            rand_np = canonical_np(rand_lde)
+            _jax.block_until_ready(rand_lde)
         with self.timer.phase("commit_randomizer"):
-            rand_tree = self._merkle_from_canon(rand_np)
+            rand_rows, rand_tree = self._commit_rows(rand_lde)
             proof_stream.push(rand_tree.root)
 
         # Fiat-Shamir weights
@@ -473,9 +495,9 @@ class FastStark(StarkParams):
         self.timer.totals.setdefault("openings", 0.0)
         _t_open = __import__("time").perf_counter()
         for s in range(R):
-            proof_stream.push([int_from_row(bq_np[s][i]) for i in quadrupled])
+            proof_stream.push([int_from_row(bq_rows[s][i]) for i in quadrupled])
             proof_stream.push(open_multi(bq_trees[s], leaf_indices))
-        proof_stream.push([int_from_row(rand_np[i]) for i in quadrupled])
+        proof_stream.push([int_from_row(rand_rows[i]) for i in quadrupled])
         proof_stream.push(open_multi(rand_tree, leaf_indices))
         proof_stream.push(
             [int_from_row(transition_zerofier.codeword_np[i]) for i in quadrupled]

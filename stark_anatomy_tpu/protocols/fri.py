@@ -86,7 +86,17 @@ class Fri:
         # commitment builder hook: canonical (n, NLIMBS) -> MerkleTree;
         # the sharded prover swaps in the per-shard MerkleForest
         self.tree_builder = MerkleTree.from_limbs_paired
+        # full commit hook: device (L, n) codeword -> (rows, tree); the
+        # sharded prover substitutes a shard-local version that never
+        # gathers the codeword into one host array
+        self.commit_codeword = self._commit_codeword_local
         assert self.num_rounds() >= 1, "cannot do FRI with less than one round"
+
+    def _commit_codeword_local(self, codeword: jnp.ndarray):
+        from ..utils.convert import canonical_np
+
+        canon = canonical_np(codeword)
+        return canon, self.tree_builder(canon)
 
     # -- round structure (reference: fri.py:22-28) --------------------------
     def num_rounds(self) -> int:
@@ -160,17 +170,16 @@ class Fri:
         (the reference reveals c separately AND re-reveals it as the next
         round's a/b, fri.py:98-113).
         """
-        from ..utils.convert import canonical_np, int_from_row
+        from ..utils.convert import int_from_row
 
         two_inv = mont_const(_TWO_INV)
         u = self._initial_u()
-        layers = []  # canonical (n, NLIMBS) numpy arrays
+        layers = []  # canonical row accessors ((n, NLIMBS) numpy or ShardedRows)
         trees: List[MerkleTree] = []
         for r in range(self.num_rounds()):
-            canon = canonical_np(codeword)
-            tree = self.tree_builder(canon)
+            rows, tree = self.commit_codeword(codeword)
             proof_stream.push(tree.root)
-            layers.append(canon)
+            layers.append(rows)
             trees.append(tree)
             if r == self.num_rounds() - 1:
                 break

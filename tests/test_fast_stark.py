@@ -150,3 +150,17 @@ def test_preprocess_artifact_roundtrip(tmp_path):
     boundary = rp2.boundary_constraints(output_element)
     proof = stark2.prove(rp2.trace(input_element), air, boundary, tz2)
     assert stark2.verify(proof, air, boundary, tz.root)
+
+
+def test_bulk_randomizer_branch():
+    """Force the bulk device-sampling branch (utils/rand.py) at a small
+    size by lowering the explicit threshold knob — the branch is otherwise
+    unreachable below max_degree ~4096 and previously had zero coverage."""
+    from stark_anatomy_tpu.models.mimc import make_stark, prove_chain, verify_chain
+
+    mimc, stark = make_stark(15, 4, 4, 8)
+    stark.bulk_randomizer_threshold = 0          # every size takes the bulk path
+    x = FieldElement(RNG.randrange(P), FIELD)
+    out, proof, tz = prove_chain(mimc, stark, x)
+    assert verify_chain(mimc, stark, x, out, proof, tz.root)
+    assert not verify_chain(mimc, stark, x, out + FIELD.one(), proof, tz.root)

@@ -92,3 +92,65 @@ def test_merkle_forest_bit_identical_to_tree():
         idx = [0, 3, 17, 64, 100, 127]
         assert open_multi(forest, idx) == open_multi(tree, idx)
         assert forest.open(5) == tree.open(5)
+
+
+def test_sharded_rows_paired_forest_bit_identical():
+    """ShardedRows (per-shard host blocks, never one concatenated array)
+    must commit bit-identically to the monolithic paired tree, at several
+    sizes including openings that cross shard boundaries."""
+    import numpy as np
+
+    from stark_anatomy_tpu.commit.merkle import (
+        MerkleTree,
+        ShardedRows,
+        open_multi,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, S in ((64, 2), (256, 4), (512, 8)):
+        canon = rng.integers(0, 1 << 16, size=(n, 8), dtype=np.uint32)
+        blocks = [canon[s * (n // S) : (s + 1) * (n // S)] for s in range(S)]
+        rows = ShardedRows(blocks)
+        # row access across blocks matches the flat array
+        for i in (0, n // S - 1, n // S, n - 1):
+            assert np.array_equal(rows[i], canon[i])
+        assert np.array_equal(np.stack(list(rows)), canon)
+        forest = rows.paired_forest()
+        tree = MerkleTree.from_limbs_paired(canon)
+        assert forest.root == tree.root, (n, S)
+        # openings at shard-boundary leaf indices (leaf space is n/2)
+        per_leaf = (n // 2) // max(S // 2, 1)
+        idx = sorted({0, per_leaf - 1, min(per_leaf, n // 2 - 1), n // 2 - 1})
+        assert open_multi(forest, idx) == open_multi(tree, idx)
+
+
+def test_reordered_multiproof_rejected():
+    """A multiproof with swapped sibling digests must fail verify_multi
+    (round-2 verdict: no negative coverage for proof-order tampering)."""
+    import numpy as np
+
+    from stark_anatomy_tpu.commit.merkle import (
+        MerkleTree,
+        open_multi,
+        verify_multi,
+    )
+    from stark_anatomy_tpu.commit.hashing import hash_paired_leaf
+    from stark_anatomy_tpu.utils.convert import int_from_row
+
+    rng = np.random.default_rng(9)
+    canon = rng.integers(0, 1 << 16, size=(64, 8), dtype=np.uint32)
+    tree = MerkleTree.from_limbs_paired(canon)
+    idx = [1, 7, 20, 30]
+    proof = open_multi(tree, idx)
+    assert len(proof) >= 2
+    ld = {
+        i: hash_paired_leaf(int_from_row(canon[i]), int_from_row(canon[i + 32]))
+        for i in idx
+    }
+    depth = len(tree.levels) - 1
+    assert verify_multi(tree.root, depth, ld, proof)
+    swapped = list(proof)
+    swapped[0], swapped[1] = swapped[1], swapped[0]
+    assert not verify_multi(tree.root, depth, ld, swapped)
+    assert not verify_multi(tree.root, depth, ld, proof[:-1])    # truncated
+    assert not verify_multi(tree.root, depth, ld, proof + proof[:1])  # padded
