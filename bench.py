@@ -151,6 +151,54 @@ def main():
 
         log("MiMC 2^20 bench failed:\n" + traceback.format_exc())
 
+    # secondary: batch-of-64 signing (BASELINE config 5) — amortized
+    # per-signature cost through the batched device pipeline
+    try:
+        if jax.default_backend() in ("tpu", "axon") and not os.environ.get(
+            "STARK_TPU_BENCH_NO_BATCH"
+        ):
+            from stark_anatomy_tpu.models.rescue_prime import RescuePrime
+            from stark_anatomy_tpu.parallel.batch_prover import BatchProver
+            from stark_anatomy_tpu.protocols.fast_stark import FastStark
+            from stark_anatomy_tpu.transcript.proof_stream import (
+                SignatureProofStream,
+            )
+            from stark_anatomy_tpu.field.scalar import Field
+
+            B = 64
+            field = Field.main()
+            rp = RescuePrime()
+            bstark = FastStark(
+                field, 4, 64, 128, rp.m, rp.N + 1, transition_constraints_degree=3
+            )
+            btz = bstark.preprocess()
+            prover = BatchProver(bstark, rp, btz)
+            inputs = [field.sample(b"bench-batch-%d" % i) for i in range(B)]
+            docs = [b"bench-doc-%d" % i for i in range(B)]
+            proofs = prover.prove_batch(
+                inputs, [SignatureProofStream(d) for d in docs]
+            )  # warm/compile
+            t0 = time.time()
+            proofs = prover.prove_batch(
+                inputs, [SignatureProofStream(d) for d in docs]
+            )
+            t_batch = time.time() - t0
+            air = rp.transition_constraints(bstark.omicron)
+            ok = bstark.verify(
+                proofs[0], air, rp.boundary_constraints(rp.hash(inputs[0])),
+                btz.root,
+                proof_stream_factory=lambda pr: SignatureProofStream.deserialize_with_document(pr, docs[0]),
+            )
+            log(
+                f"batch of {B} signatures: {t_batch:.2f}s total = "
+                f"{t_batch/B*1000:.0f} ms/signature amortized "
+                f"(vs {t_sign*1000:.0f} ms single) verify_ok={ok}"
+            )
+    except Exception:
+        import traceback
+
+        log("batch bench failed:\n" + traceback.format_exc())
+
     print(
         json.dumps(
             {

@@ -1,0 +1,255 @@
+"""Device-resident Merkle commitment: hash codewords WHERE THEY LIVE.
+
+Motivation (measured, round 3): device->host transfer through this
+environment's TPU tunnel runs at ~16 MB/s, so shipping a 512 MB codeword
+to the host for hashing costs ~30 s while the hash itself costs
+milliseconds of device compute.  The commitment scheme (blake2s-256 over
+16-byte little-endian elements, commit/hashing.py) was chosen so the
+whole tree builds from native uint32 vector ops: leaf messages pack the
+canonical 16-bit limbs into u32 words, every hash is ONE blake2s
+compression (paired leaf = 32-byte message, node = 64-byte), and tree
+levels reduce on device.  Only 32-byte roots and queried nodes/values
+ever cross to the host.
+
+Bit-exact with hashlib.blake2s and the C++ batch hasher
+(native/blake2b.cpp) — tested in tests/test_device_merkle.py.
+
+The reference hashes on the host through Python hashlib one call at a
+time (merkle.py:6-27); SURVEY.md §7 hard-part 5 flagged exactly this
+host<->device trade-off.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_IV = np.array(
+    [
+        0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+        0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+    ],
+    dtype=np.uint32,
+)
+
+_SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+]
+
+
+def _rotr(x, n: int):
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def _compress_words(m: List[jnp.ndarray], t: int) -> List[jnp.ndarray]:
+    """One final blake2s-256 compression over 16 message-word arrays
+    (each (..., n) uint32), t = message byte length <= 64.  Returns the 8
+    digest-word arrays.
+
+    The 10 rounds run as a lax.scan whose per-step input is that round's
+    SIGMA permutation — ONE ~110-op round body is traced regardless of
+    round count (an unrolled ~1100-op chain makes XLA:CPU compile time
+    explode, the same pathology field/ops.py's compact mont_mul dodges)."""
+    shape = jnp.broadcast_shapes(*[x.shape for x in m])
+    ms = jnp.stack([jnp.broadcast_to(x, shape) for x in m])     # (16, ..., n)
+    h_words = [np.uint32(int(w)) for w in _IV]
+    h_words[0] = h_words[0] ^ np.uint32(0x01010020)  # digest len 32, fanout/depth 1
+    v_init = list(h_words) + [np.uint32(int(w)) for w in _IV]
+    v_init[12] = v_init[12] ^ np.uint32(t)
+    v_init[14] = ~v_init[14]
+    v0 = jnp.stack([jnp.broadcast_to(jnp.uint32(int(w)), shape) for w in v_init])
+
+    sigma = jnp.asarray(np.array(_SIGMA, dtype=np.int32))       # (10, 16)
+
+    def round_fn(vt, s):
+        mm = jnp.take(ms, s, axis=0)                            # permuted words
+        v = [vt[i] for i in range(16)]
+
+        def G(a, b, c, d, x, y):
+            v[a] = v[a] + v[b] + x
+            v[d] = _rotr(v[d] ^ v[a], 16)
+            v[c] = v[c] + v[d]
+            v[b] = _rotr(v[b] ^ v[c], 12)
+            v[a] = v[a] + v[b] + y
+            v[d] = _rotr(v[d] ^ v[a], 8)
+            v[c] = v[c] + v[d]
+            v[b] = _rotr(v[b] ^ v[c], 7)
+
+        G(0, 4, 8, 12, mm[0], mm[1])
+        G(1, 5, 9, 13, mm[2], mm[3])
+        G(2, 6, 10, 14, mm[4], mm[5])
+        G(3, 7, 11, 15, mm[6], mm[7])
+        G(0, 5, 10, 15, mm[8], mm[9])
+        G(1, 6, 11, 12, mm[10], mm[11])
+        G(2, 7, 8, 13, mm[12], mm[13])
+        G(3, 4, 9, 14, mm[14], mm[15])
+        return jnp.stack(v), None
+
+    v, _ = jax.lax.scan(round_fn, v0, sigma)
+    return [h_words[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _pack_words(canon: jnp.ndarray) -> jnp.ndarray:
+    """Canonical limb-first (8, n) u32 (16-bit limbs) -> (4, n) u32 words
+    of the 16-byte little-endian element encoding."""
+    return canon[0::2] | (canon[1::2] << np.uint32(16))
+
+
+@jax.jit
+def _paired_leaf_digests(canon: jnp.ndarray) -> jnp.ndarray:
+    """(8, n) canonical limbs -> (8, n/2) u32 digest words of the paired
+    leaves H(LE16(c[i]) || LE16(c[i+n/2]))."""
+    n = canon.shape[-1]
+    w = _pack_words(canon)                                 # (4, n)
+    lo, hi = w[:, : n // 2], w[:, n // 2 :]
+    zero = jnp.zeros_like(lo[0])
+    m = [lo[k] for k in range(4)] + [hi[k] for k in range(4)] + [zero] * 8
+    return jnp.stack(_compress_words(m, 32))
+
+
+@jax.jit
+def _node_level(digests: jnp.ndarray) -> jnp.ndarray:
+    """(8, n) digest words -> (8, n/2) parent digest words
+    H(left || right) over 64-byte messages."""
+    left, right = digests[:, 0::2], digests[:, 1::2]
+    m = [left[k] for k in range(8)] + [right[k] for k in range(8)]
+    return jnp.stack(_compress_words(m, 64))
+
+
+def _digest_col_bytes(col: np.ndarray) -> bytes:
+    """One (8,) u32 digest-word column -> the 32 digest bytes."""
+    return col.astype("<u4").tobytes()
+
+
+class DeviceMerkleTree:
+    """Merkle tree whose levels live ON DEVICE as (8, n) u32 digest-word
+    arrays.  Bit-identical roots/paths to the host MerkleTree over the
+    same leaves; openings gather only the required nodes (KBs, not the
+    codeword)."""
+
+    __slots__ = ("levels", "_root")
+
+    def __init__(self, leaf_digests: jnp.ndarray):
+        self.levels = [leaf_digests]
+        while self.levels[-1].shape[-1] > 1:
+            self.levels.append(_node_level(self.levels[-1]))
+        self._root = _digest_col_bytes(np.asarray(jax.device_get(self.levels[-1]))[:, 0])
+
+    @property
+    def root(self) -> bytes:
+        return self._root
+
+    def __len__(self) -> int:
+        return self.levels[0].shape[-1]
+
+    def _gather_level(self, level: jnp.ndarray, idx: Sequence[int]) -> List[bytes]:
+        cols = np.asarray(
+            jax.device_get(jnp.take(level, jnp.asarray(list(idx)), axis=-1))
+        )
+        return [_digest_col_bytes(cols[:, j]) for j in range(cols.shape[-1])]
+
+    def open(self, index: int) -> List[bytes]:
+        """Authentication path (sibling digests, leaf level first)."""
+        assert 0 <= index < len(self)
+        path = []
+        for level in self.levels[:-1]:
+            path.extend(self._gather_level(level, [index ^ 1]))
+            index >>= 1
+        return path
+
+    def multiproof(self, indices) -> List[bytes]:
+        """Minimal batched authentication proof; byte-identical to
+        commit.merkle.open_multi over the host tree (same canonical
+        sibling order), with ONE device gather per level."""
+        known = sorted(set(indices))
+        proof: List[bytes] = []
+        for level in self.levels[:-1]:
+            known_set = set(known)
+            need = [i ^ 1 for i in known if i ^ 1 not in known_set]
+            if need:
+                proof.extend(self._gather_level(level, need))
+            known = sorted({i >> 1 for i in known})
+        return proof
+
+
+class DeviceRows:
+    """Opening-value accessor over a DEVICE canonical codeword (8, n):
+    queried values are gathered on device and converted host-side —
+    the bulk codeword never transfers."""
+
+    __slots__ = ("canon",)
+
+    def __init__(self, canon: jnp.ndarray):
+        self.canon = canon                                  # (8, n) canonical
+
+    @property
+    def shape(self):
+        return (self.canon.shape[-1], self.canon.shape[0])
+
+    def __len__(self) -> int:
+        return self.canon.shape[-1]
+
+    def gather(self, indices) -> List[int]:
+        """Canonical ints at ``indices`` (one device gather)."""
+        cols = np.asarray(
+            jax.device_get(
+                jnp.take(self.canon, jnp.asarray(list(indices)), axis=-1)
+            )
+        )                                                   # (8, k)
+        le = np.ascontiguousarray(cols.T).astype("<u2")     # (k, 8) u16
+        return [
+            int.from_bytes(le[j].tobytes(), "little") for j in range(le.shape[0])
+        ]
+
+    def __getitem__(self, i: int):
+        # single-row fallback (slow path; bulk callers use gather)
+        cols = np.asarray(jax.device_get(self.canon[:, i]))
+        return cols
+
+
+def use_device_commit() -> bool:
+    """Commit on device when the codeword lives across a slow transfer
+    boundary (TPU backends).  On CPU the 'device' is host memory, so the
+    C++ batch hasher is the better tool; override with
+    STARK_TPU_DEVICE_HASH=1/0."""
+    import os
+
+    env = os.environ.get("STARK_TPU_DEVICE_HASH")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def device_commit_paired(codeword_mont: jnp.ndarray):
+    """Commit a device Montgomery codeword (8, n) with paired leaves,
+    entirely on device.  Returns (DeviceRows, DeviceMerkleTree)."""
+    from ..field import ops as F
+
+    canon = F.from_mont(codeword_mont)
+    return DeviceRows(canon), DeviceMerkleTree(_paired_leaf_digests(canon))
+
+
+def gather_rows(rows, indices) -> List[int]:
+    """Canonical ints of ``rows`` at ``indices`` for any accessor kind:
+    DeviceRows (device gather), ShardedRows/numpy (host rows)."""
+    if hasattr(rows, "gather"):
+        return rows.gather(indices)
+    from ..utils.convert import int_from_row
+
+    return [int_from_row(rows[i]) for i in indices]

@@ -1,15 +1,18 @@
 """Hash primitives for commitments and transcripts.
 
-blake2b hashes Merkle leaves/nodes; shake_256 drives Fiat-Shamir; blake2s
-binds signatures to documents — same primitives as the reference
-(merkle.py:1, ip.py:1, rpsss.py:3).  DEVIATION (DEVIATIONS.md): Merkle
-digests are 32 bytes, not the reference's 64 (merkle.py:6) — 128-bit
-collision resistance matches the 128-bit protocol security target, and
-digests dominate proof size (hundreds of multiproof nodes per proof).
-Transcript hashing is tiny and sequential, so the stdlib is the right
-tool; BULK hashing (leaf batches, tree levels) goes through the C++
-extension — see stark_anatomy_tpu.native.blake2b_batch, used by
-commit/merkle.py.
+Commitment scheme: blake2s-256 over FIXED-WIDTH encodings — a field
+element hashes as its 16-byte little-endian canonical value.  DEVIATIONS
+(DEVIATIONS.md): the reference uses blake2b-512 over decimal-string
+encodings (merkle.py:6, algebra.py:56-57).  32-byte digests give 128-bit
+collision resistance matching the 128-bit protocol target and halve proof
+size; blake2s + LE16 were chosen because BOTH are native uint32
+operations, so the SAME hash runs as TPU vector kernels
+(commit/device_merkle.py) — measured D2H bandwidth through the device
+tunnel (~16 MB/s) makes host-side hashing of large codewords the prover
+bottleneck, so commitments hash where the codeword lives.  The C++ batch
+hasher (native/blake2b.cpp) and hashlib paths here are the host twins;
+all three are bit-exact.  shake_256 drives Fiat-Shamir and blake2s binds
+signatures to documents, as in the reference (ip.py:1, rpsss.py:3).
 """
 
 from __future__ import annotations
@@ -19,20 +22,24 @@ from hashlib import blake2b, blake2s, shake_256
 DIGEST_LEN = 32
 
 
+def elt_bytes(v: int) -> bytes:
+    """Consensus leaf encoding of a canonical field element."""
+    return v.to_bytes(16, "little")
+
+
 def hash_leaf(data: bytes) -> bytes:
-    return blake2b(data, digest_size=DIGEST_LEN).digest()
+    return blake2s(data).digest()
 
 
 def hash_pair(left: bytes, right: bytes) -> bytes:
-    return blake2b(left + right, digest_size=DIGEST_LEN).digest()
+    return blake2s(left + right).digest()
 
 
 def hash_paired_leaf(v0: int, v1: int) -> bytes:
     """Digest of a PAIRED codeword leaf covering values at i and i+n/2
-    (encoding must match native stark_leaves_from_limb_pairs)."""
-    return blake2b(
-        str(v0).encode() + b"|" + str(v1).encode(), digest_size=DIGEST_LEN
-    ).digest()
+    (encoding must match native stark_leaves_from_limb_pairs_s and the
+    device kernel commit/device_merkle.py)."""
+    return blake2s(elt_bytes(v0) + elt_bytes(v1)).digest()
 
 
 def shake256(data: bytes, num_bytes: int = 32) -> bytes:

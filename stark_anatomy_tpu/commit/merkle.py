@@ -217,16 +217,18 @@ class Merkle:
 
 def paired_tree_from_ints(codeword: Sequence[int]) -> MerkleTree:
     """Paired-leaf tree over a host codeword of canonical ints (leaf i =
-    H(dec(c[i]) | dec(c[i+n/2]))); matches MerkleTree.from_limbs_paired."""
+    H(LE16(c[i]) || LE16(c[i+n/2]))); matches MerkleTree.from_limbs_paired."""
+    from .hashing import elt_bytes
+
     half = len(codeword) // 2
     enc = [
-        str(codeword[i]).encode() + b"|" + str(codeword[i + half]).encode()
+        elt_bytes(codeword[i]) + elt_bytes(codeword[i + half])
         for i in range(half)
     ]
     return MerkleTree(enc)
 
 
-def open_multi(tree: MerkleTree, indices) -> List[bytes]:
+def open_multi(tree, indices) -> List[bytes]:
     """Minimal batched authentication proof for a SET of leaf indices.
 
     Per-index paths repeat shared upper-tree digests; for the STARK's
@@ -234,8 +236,11 @@ def open_multi(tree: MerkleTree, indices) -> List[bytes]:
     cost (the reference pays it in full: fast_stark.py:154-177).  The
     multiproof walks level by level, emitting only siblings that cannot be
     recomputed from below, in a canonical (sorted-index) order the verifier
-    reproduces exactly.
+    reproduces exactly.  Device-resident trees serve the same bytes
+    through their own gather-based walk.
     """
+    if hasattr(tree, "multiproof"):
+        return tree.multiproof(indices)
     known = sorted(set(indices))
     proof: List[bytes] = []
     for level in tree.levels[:-1]:

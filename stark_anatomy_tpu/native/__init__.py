@@ -55,6 +55,19 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
             ctypes.c_uint64, ctypes.c_void_p,
         ]
+        # blake2s-256 commitment scheme entry points
+        lib.stark_hash_batch_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.stark_merkle_level_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.stark_leaves_from_limbs_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.stark_leaves_from_limb_pairs_s.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ]
         _lib = lib
     except OSError:
         return None

@@ -1,13 +1,16 @@
 """numpy-friendly wrappers over the native hashing library.
 
-Digest length follows commit.hashing.DIGEST_LEN (32 bytes — see the
-deviation note there); the C++ entry points take it as a parameter so the
-library never needs rebuilding when the protocol constant changes.
+Commitment scheme (see commit/hashing.py): blake2s-256 digests over the
+FIXED-WIDTH encoding — a field element hashes as its 16-byte little-endian
+canonical value, i.e. the 8 uint16 limbs verbatim.  The C++ side
+(blake2b.cpp) and the device kernels (commit/device_merkle.py) implement
+the identical function; pure-hashlib fallbacks below keep everything
+working without the native build.
 """
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import blake2s
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -15,27 +18,28 @@ import numpy as np
 from ..commit.hashing import DIGEST_LEN
 from . import get_lib
 
-_DLEN = np.uint64(DIGEST_LEN)
+
+def _le16_bytes(row: np.ndarray) -> bytes:
+    """Canonical (8,) uint32 limb row -> 16-byte little-endian encoding."""
+    return row.astype("<u2").tobytes()
 
 
 def hash_encodings(encodings: Sequence[bytes]) -> np.ndarray:
-    """blake2b over each byte string -> (n, DIGEST_LEN) uint8 digest array."""
+    """blake2s over each byte string -> (n, DIGEST_LEN) uint8 digest array."""
     n = len(encodings)
     lib = get_lib()
     if lib is None:
         out = np.empty((n, DIGEST_LEN), dtype=np.uint8)
         for i, e in enumerate(encodings):
-            out[i] = np.frombuffer(
-                blake2b(e, digest_size=DIGEST_LEN).digest(), dtype=np.uint8
-            )
+            out[i] = np.frombuffer(blake2s(e).digest(), dtype=np.uint8)
         return out
     data = b"".join(encodings)
     offsets = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum([len(e) for e in encodings], out=offsets[1:])
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty((n, DIGEST_LEN), dtype=np.uint8)
-    lib.stark_hash_batch(
-        buf.ctypes.data, offsets.ctypes.data, np.uint64(n), out.ctypes.data, _DLEN
+    lib.stark_hash_batch_s(
+        buf.ctypes.data, offsets.ctypes.data, np.uint64(n), out.ctypes.data
     )
     return out
 
@@ -48,54 +52,47 @@ def merkle_level(digests: np.ndarray) -> np.ndarray:
     if lib is None:
         for i in range(n // 2):
             out[i] = np.frombuffer(
-                blake2b(
-                    digests[2 * i].tobytes() + digests[2 * i + 1].tobytes(),
-                    digest_size=DIGEST_LEN,
+                blake2s(
+                    digests[2 * i].tobytes() + digests[2 * i + 1].tobytes()
                 ).digest(),
                 dtype=np.uint8,
             )
         return out
     d = np.ascontiguousarray(digests)
-    lib.stark_merkle_level(d.ctypes.data, np.uint64(n), out.ctypes.data, _DLEN)
+    lib.stark_merkle_level_s(d.ctypes.data, np.uint64(n), out.ctypes.data)
     return out
 
 
 def leaves_from_limb_pairs(limbs: np.ndarray) -> np.ndarray:
     """Canonical (n, 8)-uint32 rows -> (n/2, DIGEST_LEN) PAIRED leaf digests:
     leaf i covers rows i and i+n/2 (the FRI fold pairing), hashed as
-    b"dec(v_i)|dec(v_{i+n/2})"."""
+    LE16(v_i) || LE16(v_{i+n/2})."""
     n = limbs.shape[0]
     lib = get_lib()
     if lib is None:
-        from ..field.limbs import limbs_to_int
-
         half = n // 2
         enc = [
-            str(limbs_to_int(limbs[i])).encode()
-            + b"|"
-            + str(limbs_to_int(limbs[i + half])).encode()
+            _le16_bytes(limbs[i]) + _le16_bytes(limbs[i + half])
             for i in range(half)
         ]
         return hash_encodings(enc)
     arr = np.ascontiguousarray(limbs, dtype=np.uint32)
     out = np.empty((n // 2, DIGEST_LEN), dtype=np.uint8)
-    lib.stark_leaves_from_limb_pairs(
-        arr.ctypes.data, np.uint64(n), out.ctypes.data, _DLEN
+    lib.stark_leaves_from_limb_pairs_s(
+        arr.ctypes.data, np.uint64(n), out.ctypes.data
     )
     return out
 
 
 def leaves_from_limbs(limbs: np.ndarray) -> np.ndarray:
     """Canonical (n, 8)-uint32 limb rows -> (n, DIGEST_LEN) leaf digests,
-    hashing the decimal-string encoding of each field element."""
+    hashing the 16-byte little-endian encoding of each field element."""
     n = limbs.shape[0]
     lib = get_lib()
     if lib is None:
-        from ..field.limbs import limbs_to_int
-
-        enc = [str(limbs_to_int(row)).encode() for row in limbs]
+        enc = [_le16_bytes(row) for row in limbs]
         return hash_encodings(enc)
     arr = np.ascontiguousarray(limbs, dtype=np.uint32)
     out = np.empty((n, DIGEST_LEN), dtype=np.uint8)
-    lib.stark_leaves_from_limbs(arr.ctypes.data, np.uint64(n), out.ctypes.data, _DLEN)
+    lib.stark_leaves_from_limbs_s(arr.ctypes.data, np.uint64(n), out.ctypes.data)
     return out

@@ -25,13 +25,31 @@ from ..field.limbs import NLIMBS, int_to_limbs, R
 from ..field.scalar import P, Field
 
 
+def _concrete_ctx():
+    """Context that forces concrete (non-tracer) results when table
+    construction is triggered lazily INSIDE an outer jit trace — cached
+    tables must never be tracers.  Outside a trace it is a no-op: entering
+    ensure_compile_time_eval eagerly would poison Pallas kernel tracing
+    (kernel-internal numpy constants become captured jax arrays, which
+    pallas_call rejects)."""
+    import contextlib
+
+    try:
+        from jax._src import core as _jcore
+
+        clean = _jcore.trace_state_clean()
+    except Exception:
+        clean = True
+    return contextlib.nullcontext() if clean else jax.ensure_compile_time_eval()
+
+
 def mont_const(value: int) -> jnp.ndarray:
     """Host int -> (NLIMBS, 1) Montgomery-form broadcastable constant.
 
     Always concrete, even when called during an outer jit trace — table
     constants must never become tracers (they are cached process-wide).
     """
-    with jax.ensure_compile_time_eval():
+    with _concrete_ctx():
         return jnp.asarray(
             np.array(int_to_limbs(value % P * R % P), dtype=np.uint32)
         )[:, None]
@@ -48,7 +66,7 @@ def power_table(base: int, n: int) -> jnp.ndarray:
     outer jit trace still yields concrete (cacheable) arrays.
     """
     assert n >= 1
-    with jax.ensure_compile_time_eval():
+    with _concrete_ctx():
         table = F.mont_one(1)
         step = mont_const(base)
         size = 1
@@ -90,7 +108,7 @@ class _Domain:
             elif key == "inv_powers":
                 v = power_table(self._vals["omega_inv"], n)
             elif key == "bitrev":
-                with jax.ensure_compile_time_eval():
+                with _concrete_ctx():
                     v = jnp.asarray(bit_reversal_permutation(n))
             elif key == "n_inv":
                 v = mont_const(pow(n, P - 2, P))

@@ -28,6 +28,7 @@ from ..ops.domain import mont_const, power_table
 from ..protocols.fast_stark import FastStark, TransitionZerofier
 from ..protocols.fri import _fold_kernel_batched
 from ..transcript.proof_stream import SignatureProofStream
+from ..commit.device_merkle import gather_rows
 from ..utils.convert import device_from_ints, int_from_row
 
 _TWO_INV = pow(2, P - 2, P)
@@ -210,7 +211,7 @@ class BatchProver:
                 ps.push(open_multi(bq_trees[i][s], leaf_indices))
             ps.push([int_from_row(rand_np[i][j]) for j in quadrupled])
             ps.push(open_multi(rand_trees[i], leaf_indices))
-            ps.push([int_from_row(self.tz.codeword_np[j]) for j in quadrupled])
+            ps.push(gather_rows(self.tz.rows, quadrupled))
             ps.push(open_multi(self.tz.tree, leaf_indices))
             proofs.append(ps.serialize())
         return proofs

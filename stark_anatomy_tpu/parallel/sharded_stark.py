@@ -116,8 +116,15 @@ class ShardedFastStark(FastStark):
         table row 4)."""
         import numpy as np
 
+        from ..commit.device_merkle import device_commit_paired, use_device_commit
         from ..commit.merkle import ShardedRows
         from ..field import ops as F
+
+        if use_device_commit():
+            # TPU mesh: hash on device — elementwise compression stays
+            # shard-local under GSPMD, tree reduction crosses shards only
+            # in the tiny top levels; nothing bulk reaches the host
+            return device_commit_paired(codeword)
 
         n = codeword.shape[-1]
         canon_dev = F.from_mont(codeword)

@@ -43,7 +43,7 @@ from ..ops.domain import DOMAINS, mont_const, power_table
 from ..poly.multivariate import MPolynomial
 from ..poly.univariate import Polynomial
 from ..transcript.proof_stream import ProofStream
-from ..utils.convert import device_from_ints, ints_from_device, leaf_bytes
+from ..utils.convert import device_from_ints, ints_from_device
 from .stark import Boundary, StarkParams
 
 
@@ -52,47 +52,39 @@ class TransitionZerofier:
     the cached inverse codeword and Merkle tree, and SERIALIZABLE — the
     zerofier product tree is the dominant setup cost at large traces, so a
     deployment computes it once and every prover process loads it
-    (SURVEY.md §5 checkpoint/resume)."""
+    (SURVEY.md §5 checkpoint/resume).
 
-    FORMAT_VERSION = 1
+    Version 2 artifact stores ONLY the coefficients (~32 MB at a 2^20
+    trace): the codeword is one coset NTT away (milliseconds on device),
+    whereas v1's stored codeword was 512 MB of disk and a 512 MB
+    host->device transfer per load."""
 
-    def __init__(self, coeffs, codeword, codeword_np, inv_codeword, tree):
+    FORMAT_VERSION = 2
+
+    def __init__(self, coeffs, codeword, rows, inv_codeword, tree):
         self.coeffs = coeffs                  # device (L, T) Montgomery
         self.codeword = codeword              # device (L, N_fri) Montgomery
-        self.codeword_np = codeword_np        # canonical numpy (N_fri, L)
+        self.rows = rows                      # opening-value accessor
         self.inv_codeword = inv_codeword      # device (L, N_fri)
-        self.tree = tree                      # MerkleTree
+        self.tree = tree                      # MerkleTree / DeviceMerkleTree
 
     @property
     def root(self) -> bytes:
         return self.tree.root
 
     def save(self, path: str) -> None:
-        """Persist the artifact (coefficients + canonical codeword; the
-        derived device arrays and tree are rebuilt on load)."""
-        np.savez(
-            path,
-            version=self.FORMAT_VERSION,
-            coeffs=np.asarray(F.from_mont(self.coeffs)),
-            codeword_np=self.codeword_np,
-        )
+        np.savez(path, version=self.FORMAT_VERSION, coeffs=np.asarray(F.from_mont(self.coeffs)))
 
     @classmethod
-    def load(cls, path: str, merkle_from_canon=None) -> "TransitionZerofier":
-        import jax.numpy as _jnp
-
+    def load_coeffs(cls, path: str) -> jnp.ndarray:
+        """Load the Montgomery coefficient array from a saved artifact."""
         data = np.load(path)
         if int(data["version"]) != cls.FORMAT_VERSION:
             raise ValueError(
                 f"transition zerofier artifact version {int(data['version'])} "
                 f"!= {cls.FORMAT_VERSION}"
             )
-        coeffs = F.to_mont(_jnp.asarray(data["coeffs"]))
-        codeword_np = data["codeword_np"]
-        codeword = F.to_mont(_jnp.asarray(codeword_np.T))
-        inv_codeword = F.batch_inv(codeword)
-        builder = merkle_from_canon or MerkleTree.from_limbs_paired
-        return cls(coeffs, codeword, codeword_np, inv_codeword, builder(codeword_np))
+        return F.to_mont(jnp.asarray(data["coeffs"]))
 
 
 class FastStark(StarkParams):
@@ -122,34 +114,33 @@ class FastStark(StarkParams):
     def preprocess(self, cache_path: Optional[str] = None) -> TransitionZerofier:
         """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i).
 
-        With ``cache_path``, the artifact is loaded if present and saved
-        after computing otherwise (checkpoint/resume for large traces).
+        With ``cache_path``, the coefficient artifact is loaded if present
+        and saved after computing otherwise (checkpoint/resume for large
+        traces); the codeword/commitment are cheap to rebuild from it.
         """
+        coeffs = None
         if cache_path is not None and os.path.exists(cache_path):
-            return TransitionZerofier.load(
-                cache_path, merkle_from_canon=self._merkle_from_canon
-            )
-        from ..poly.host_ntt import host_zerofier
-        from ..utils.convert import canonical_np
+            coeffs = TransitionZerofier.load_coeffs(cache_path)
+        if coeffs is None:
+            from ..poly.host_ntt import host_zerofier
 
-        count = self.original_trace_length - 1
-        if count <= NTT.HOST_ZEROFIER_MAX:
-            # small domains: host big-int accumulation avoids compiling a
-            # device product tree of many distinct shapes
-            pts = [e.value for e in self.omicron_powers(count)]
-            coeffs = device_from_ints(host_zerofier(pts))
-        else:
-            # large traces: parity-split recursion — one poly multiply per
-            # level (~2 full NTTs total) instead of a full product tree
-            coeffs = NTT.prefix_zerofier(self.omicron.value, count)
+            count = self.original_trace_length - 1
+            if count <= NTT.HOST_ZEROFIER_MAX:
+                # small domains: host big-int accumulation avoids compiling
+                # a device product tree of many distinct shapes
+                pts = [e.value for e in self.omicron_powers(count)]
+                coeffs = device_from_ints(host_zerofier(pts))
+            else:
+                # large traces: parity-split recursion — one poly multiply
+                # per level (~2 full NTTs total) instead of a product tree
+                coeffs = NTT.prefix_zerofier(self.omicron.value, count)
         codeword = NTT.coset_evaluate(
             coeffs, self.generator.value, self.fri_domain_length
         )
-        codeword_np = canonical_np(codeword)
+        rows, tree = self._commit_rows(codeword)
         inv_codeword = F.batch_inv(codeword)
-        tree = self._merkle_from_canon(codeword_np)
-        tz = TransitionZerofier(coeffs, codeword, codeword_np, inv_codeword, tree)
-        if cache_path is not None:
+        tz = TransitionZerofier(coeffs, codeword, rows, inv_codeword, tree)
+        if cache_path is not None and not os.path.exists(cache_path):
             tz.save(cache_path)
         return tz
 
@@ -240,10 +231,19 @@ class FastStark(StarkParams):
 
     def _commit_rows(self, codeword: jnp.ndarray):
         """Commit one (L, N) device codeword.  Returns (rows, tree): rows
-        is an element-major canonical row accessor used for openings —
-        a host numpy array here; the sharded prover substitutes per-shard
-        ShardedRows blocks so the full codeword never lands in one host
-        array (SURVEY.md §2 parallel table row 4)."""
+        is a canonical opening-value accessor.
+
+        On TPU backends the commitment hashes ON DEVICE
+        (commit/device_merkle.py) — only the root and queried nodes/values
+        cross the ~16 MB/s transfer boundary.  On CPU the codeword is
+        canonicalized to host memory (free — same RAM) and hashed by the
+        C++ batch hasher; the sharded prover further substitutes per-shard
+        blocks (SURVEY.md §2 parallel table row 4).  All paths produce
+        byte-identical commitments."""
+        from ..commit.device_merkle import device_commit_paired, use_device_commit
+
+        if use_device_commit():
+            return device_commit_paired(codeword)
         from ..utils.convert import canonical_np
 
         canon = canonical_np(codeword)
@@ -494,14 +494,14 @@ class FastStark(StarkParams):
         # (the reference pushes a full path per index, fast_stark.py:158-177)
         self.timer.totals.setdefault("openings", 0.0)
         _t_open = __import__("time").perf_counter()
+        from ..commit.device_merkle import gather_rows
+
         for s in range(R):
-            proof_stream.push([int_from_row(bq_rows[s][i]) for i in quadrupled])
+            proof_stream.push(gather_rows(bq_rows[s], quadrupled))
             proof_stream.push(open_multi(bq_trees[s], leaf_indices))
-        proof_stream.push([int_from_row(rand_rows[i]) for i in quadrupled])
+        proof_stream.push(gather_rows(rand_rows, quadrupled))
         proof_stream.push(open_multi(rand_tree, leaf_indices))
-        proof_stream.push(
-            [int_from_row(transition_zerofier.codeword_np[i]) for i in quadrupled]
-        )
+        proof_stream.push(gather_rows(transition_zerofier.rows, quadrupled))
         proof_stream.push(open_multi(transition_zerofier.tree, leaf_indices))
         self.timer.totals["openings"] += __import__("time").perf_counter() - _t_open
         self.timer.counts["openings"] += 1

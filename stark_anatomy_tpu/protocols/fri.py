@@ -93,6 +93,12 @@ class Fri:
         assert self.num_rounds() >= 1, "cannot do FRI with less than one round"
 
     def _commit_codeword_local(self, codeword: jnp.ndarray):
+        from ..commit.device_merkle import device_commit_paired, use_device_commit
+
+        if use_device_commit():
+            # TPU: hash where the codeword lives; only the root crosses
+            # the (slow) transfer boundary (commit/device_merkle.py)
+            return device_commit_paired(codeword)
         from ..utils.convert import canonical_np
 
         canon = canonical_np(codeword)
@@ -170,8 +176,6 @@ class Fri:
         (the reference reveals c separately AND re-reveals it as the next
         round's a/b, fri.py:98-113).
         """
-        from ..utils.convert import int_from_row
-
         two_inv = mont_const(_TWO_INV)
         u = self._initial_u()
         layers = []  # canonical row accessors ((n, NLIMBS) numpy or ShardedRows)
@@ -187,7 +191,10 @@ class Fri:
             codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
             u = _square_half(u)
         # send last codeword in the clear (reference: fri.py:92)
-        proof_stream.push([int_from_row(row) for row in layers[-1]])
+        from ..commit.device_merkle import gather_rows
+
+        last = layers[-1]
+        proof_stream.push(gather_rows(last, range(last.shape[0])))
         return layers, trees
 
     def query(
@@ -199,17 +206,15 @@ class Fri:
     ):
         """Reveal, per test, the paired leaf (a, b) = (layer[i], layer[i+half])
         at i = c_indices[s], plus ONE multiproof for the whole index set."""
-        from ..utils.convert import int_from_row
+        from ..commit.device_merkle import gather_rows
 
         half = current_layer.shape[0] // 2
+        idx = [c_indices[s] for s in range(self.num_colinearity_tests)]
+        vals = gather_rows(
+            current_layer, idx + [i + half for i in idx]
+        )
         for s in range(self.num_colinearity_tests):
-            i = c_indices[s]
-            proof_stream.push(
-                (
-                    int_from_row(current_layer[i]),
-                    int_from_row(current_layer[i + half]),
-                )
-            )
+            proof_stream.push((vals[s], vals[s + len(idx)]))
         proof_stream.push(open_multi(current_tree, c_indices))
         return c_indices
 
@@ -260,11 +265,13 @@ class Fri:
             len(last_codeword) & (len(last_codeword) - 1)
         ) != 0:
             raise MalformedProof("last codeword length is not a power of two")
+        from ..commit.hashing import elt_bytes
+
         half_last = len(last_codeword) // 2
+        if any(not (0 <= v < P) for v in last_codeword):
+            raise MalformedProof("last codeword value out of field range")
         last_enc = [
-            str(last_codeword[i]).encode()
-            + b"|"
-            + str(last_codeword[i + half_last]).encode()
+            elt_bytes(last_codeword[i]) + elt_bytes(last_codeword[i + half_last])
             for i in range(half_last)
         ]
         if roots[-1] != MerkleTree(last_enc).root:

@@ -59,7 +59,3 @@ def int_from_row(row: np.ndarray) -> int:
     return acc
 
 
-def leaf_bytes(values: Sequence[int]) -> List[bytes]:
-    """Consensus-critical Merkle leaf encoding: decimal strings
-    (reference: algebra.py:56-57, merkle.py:13-14)."""
-    return [str(v).encode() for v in values]

@@ -69,3 +69,52 @@ def test_batch_prove_dp_sharded():
             proofs[i], air, boundary, tz.root,
             proof_stream_factory=lambda pr, d=docs[i]: SignatureProofStream.deserialize_with_document(pr, d),
         ), f"dp-sharded batch proof {i} failed"
+
+
+@pytest.mark.slow
+def test_batch_of_64_full_parameters():
+    """BASELINE config 5: 64 signatures through one BatchProver pipeline at
+    FULL production parameters (128-bit security, 64 colinearity checks),
+    dp-sharded when a multi-device mesh is available.  Records wall-clock
+    and per-signature amortized time; every proof verifies independently.
+    Run with -m slow (TPU: ~amortized sub-second signing)."""
+    import os
+    import time
+
+    import jax
+
+    from stark_anatomy_tpu.parallel.mesh import make_mesh
+
+    B = int(os.environ.get("STARK_TPU_BATCH", 64))
+    rp = RescuePrime()
+    stark = FastStark(FIELD, 4, 64, 128, rp.m, rp.N + 1,
+                      transition_constraints_degree=3)
+    tz = stark.preprocess()
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    prover = BatchProver(stark, rp, tz, mesh=mesh)
+
+    inputs = [FIELD.sample(b"batch64-%d" % i) for i in range(B)]
+    docs = [b"document-%d" % i for i in range(B)]
+
+    # warm (compile) on a small batch of the same per-proof shapes is not
+    # possible (B is a traced dim), so time the second full batch
+    t0 = time.time()
+    proofs = prover.prove_batch(inputs, [SignatureProofStream(d) for d in docs])
+    t_warm = time.time() - t0
+    t0 = time.time()
+    proofs = prover.prove_batch(inputs, [SignatureProofStream(d) for d in docs])
+    t_batch = time.time() - t0
+    print(
+        f"\nbatch of {B} @ full params: warm {t_warm:.1f}s, steady "
+        f"{t_batch:.1f}s total = {t_batch/B*1000:.0f} ms/signature "
+        f"(mesh: {dict(mesh.shape) if mesh else 'single-device'})"
+    )
+
+    air = rp.transition_constraints(stark.omicron)
+    for i in (0, B // 2, B - 1):
+        out = rp.hash(inputs[i])
+        ok = stark.verify(
+            proofs[i], air, rp.boundary_constraints(out), tz.root,
+            proof_stream_factory=lambda pr, d=docs[i]: SignatureProofStream.deserialize_with_document(pr, d),
+        )
+        assert ok, f"batch proof {i} failed to verify"

@@ -142,7 +142,11 @@ def test_preprocess_artifact_roundtrip(tmp_path):
     assert tz2.root == tz.root
     import numpy as np
 
-    assert np.array_equal(tz2.codeword_np, tz.codeword_np)
+    assert np.array_equal(np.asarray(tz2.coeffs), np.asarray(tz.coeffs))
+    from stark_anatomy_tpu.commit.device_merkle import gather_rows
+
+    idx = [0, 7, 100]
+    assert gather_rows(tz2.rows, idx) == gather_rows(tz.rows, idx)
 
     input_element = FIELD.sample(b"ckpt")
     output_element = rp2.hash(input_element)
