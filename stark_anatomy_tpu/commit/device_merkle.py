@@ -134,55 +134,87 @@ def _digest_col_bytes(col: np.ndarray) -> bytes:
     return col.astype("<u4").tobytes()
 
 
-class DeviceMerkleTree:
-    """Merkle tree whose levels live ON DEVICE as (8, n) u32 digest-word
-    arrays.  Bit-identical roots/paths to the host MerkleTree over the
-    same leaves; openings gather only the required nodes (KBs, not the
-    codeword)."""
+def _take_padded(arr: jnp.ndarray, idx: Sequence[int]) -> np.ndarray:
+    """Gather columns ``idx`` from a device (8, n) array, with the index
+    count PADDED to the next power of two (duplicating the last index)
+    before the gather: opening index sets vary in size per proof, and
+    every distinct gather size is a fresh XLA compile — padding keeps the
+    executable cache to log2(n) shapes."""
+    k = len(idx)
+    padded = 1 << max(k - 1, 0).bit_length()
+    idx = list(idx) + [idx[-1]] * (padded - k)
+    out = np.asarray(jax.device_get(jnp.take(arr, jnp.asarray(idx), axis=-1)))
+    return out[..., :k]
 
-    __slots__ = ("levels", "_root")
+
+class DeviceMerkleTree:
+    """Merkle tree whose levels live ON DEVICE, stored CONCATENATED as one
+    (8, 2n-1) u32 digest-word array.  Bit-identical roots/paths to the
+    host MerkleTree over the same leaves; an opening is ONE device gather
+    over the flat array — per-level gathers would pay the device tunnel's
+    ~25 ms eager-dispatch latency log2(n) times per proof."""
+
+    __slots__ = ("flat", "offsets", "depth", "_root")
 
     def __init__(self, leaf_digests: jnp.ndarray):
-        self.levels = [leaf_digests]
-        while self.levels[-1].shape[-1] > 1:
-            self.levels.append(_node_level(self.levels[-1]))
-        self._root = _digest_col_bytes(np.asarray(jax.device_get(self.levels[-1]))[:, 0])
+        levels = [leaf_digests]
+        while levels[-1].shape[-1] > 1:
+            levels.append(_node_level(levels[-1]))
+        self.depth = len(levels) - 1
+        self.offsets = [0]
+        for l in levels:
+            self.offsets.append(self.offsets[-1] + l.shape[-1])
+        self.flat = jnp.concatenate(levels, axis=-1) if len(levels) > 1 else levels[0]
+        del levels
+        self._root = _digest_col_bytes(
+            np.asarray(jax.device_get(self.flat[:, -1:]))[:, 0]
+        )
+
+    @property
+    def levels(self) -> List[jnp.ndarray]:
+        """Per-level views into the flat digest array (testing/debug)."""
+        return [
+            self.flat[:, self.offsets[k] : self.offsets[k + 1]]
+            for k in range(self.depth + 1)
+        ]
 
     @property
     def root(self) -> bytes:
         return self._root
 
     def __len__(self) -> int:
-        return self.levels[0].shape[-1]
+        return self.offsets[1]
 
-    def _gather_level(self, level: jnp.ndarray, idx: Sequence[int]) -> List[bytes]:
-        cols = np.asarray(
-            jax.device_get(jnp.take(level, jnp.asarray(list(idx)), axis=-1))
-        )
+    def _gather_flat(self, flat_idx: Sequence[int]) -> List[bytes]:
+        cols = _take_padded(self.flat, list(flat_idx))
         return [_digest_col_bytes(cols[:, j]) for j in range(cols.shape[-1])]
 
     def open(self, index: int) -> List[bytes]:
         """Authentication path (sibling digests, leaf level first)."""
         assert 0 <= index < len(self)
-        path = []
-        for level in self.levels[:-1]:
-            path.extend(self._gather_level(level, [index ^ 1]))
+        flat_idx = []
+        for lvl in range(self.depth):
+            flat_idx.append(self.offsets[lvl] + (index ^ 1))
             index >>= 1
-        return path
+        return self._gather_flat(flat_idx)
 
     def multiproof(self, indices) -> List[bytes]:
         """Minimal batched authentication proof; byte-identical to
         commit.merkle.open_multi over the host tree (same canonical
-        sibling order), with ONE device gather per level."""
+        sibling order), with ONE device gather for the whole proof."""
         known = sorted(set(indices))
-        proof: List[bytes] = []
-        for level in self.levels[:-1]:
+        flat_idx: List[int] = []
+        for lvl in range(self.depth):
             known_set = set(known)
-            need = [i ^ 1 for i in known if i ^ 1 not in known_set]
-            if need:
-                proof.extend(self._gather_level(level, need))
+            flat_idx.extend(
+                self.offsets[lvl] + (i ^ 1)
+                for i in known
+                if i ^ 1 not in known_set
+            )
             known = sorted({i >> 1 for i in known})
-        return proof
+        if not flat_idx:
+            return []
+        return self._gather_flat(flat_idx)
 
 
 class DeviceRows:
@@ -204,11 +236,7 @@ class DeviceRows:
 
     def gather(self, indices) -> List[int]:
         """Canonical ints at ``indices`` (one device gather)."""
-        cols = np.asarray(
-            jax.device_get(
-                jnp.take(self.canon, jnp.asarray(list(indices)), axis=-1)
-            )
-        )                                                   # (8, k)
+        cols = _take_padded(self.canon, list(indices))      # (8, k)
         le = np.ascontiguousarray(cols.T).astype("<u2")     # (k, 8) u16
         return [
             int.from_bytes(le[j].tobytes(), "little") for j in range(le.shape[0])

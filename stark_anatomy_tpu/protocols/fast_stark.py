@@ -120,7 +120,10 @@ class FastStark(StarkParams):
         """
         coeffs = None
         if cache_path is not None and os.path.exists(cache_path):
-            coeffs = TransitionZerofier.load_coeffs(cache_path)
+            try:
+                coeffs = TransitionZerofier.load_coeffs(cache_path)
+            except ValueError:
+                os.remove(cache_path)  # stale format: recompute and re-save
         if coeffs is None:
             from ..poly.host_ntt import host_zerofier
 

@@ -115,3 +115,13 @@ def test_mimc_large_trace_end_to_end():
     assert ok
     # false-output rejection at scale
     assert not verify_chain(mimc, stark, x, out + FIELD.one(), proof, tz.root)
+
+
+def test_device_trace_chunked_path_matches_scalar():
+    """Step counts divisible by the scan CHUNK take the unrolled-body
+    path (models/mimc.py trace_columns); must match the scalar chain."""
+    mimc = MiMC(64)
+    x = FieldElement(RNG.randrange(P), FIELD)
+    got = ints_from_device(mimc.trace_columns(x.value)[0])
+    want = [row[0].value for row in mimc.trace(x)]
+    assert got == want
