@@ -22,7 +22,7 @@ host<->device trade-off.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -248,20 +248,34 @@ class DeviceRows:
         return cols
 
 
-def use_device_commit() -> bool:
+# below this many codeword elements the host path wins: device commitment
+# costs a fixed ~0.3 s of per-dispatch tunnel latency (leaf kernel +
+# log n level kernels + root fetch), while transferring a small codeword
+# costs n * 32 B at ~16 MB/s — the curves cross around 2^17..2^18
+DEVICE_COMMIT_MIN = 1 << 18
+
+
+def use_device_commit(n: Optional[int] = None) -> bool:
     """Commit on device when the codeword lives across a slow transfer
-    boundary (TPU backends).  On CPU the 'device' is host memory, so the
-    C++ batch hasher is the better tool; override with
-    STARK_TPU_DEVICE_HASH=1/0."""
+    boundary (TPU backends) AND is large enough that transfer cost beats
+    the device path's fixed dispatch latency.  On CPU the 'device' is
+    host memory, so the C++ batch hasher is the better tool; override
+    with STARK_TPU_DEVICE_HASH=1/0 (size gate still applies unless
+    forced on with n omitted)."""
     import os
 
     env = os.environ.get("STARK_TPU_DEVICE_HASH")
     if env is not None:
-        return env == "1"
+        if env == "0":
+            return False
+        return True if n is None else n >= int(
+            os.environ.get("STARK_TPU_DEVICE_HASH_MIN", 0)
+        )
     try:
-        return jax.default_backend() in ("tpu", "axon")
+        on_tpu = jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+    return on_tpu and (n is None or n >= DEVICE_COMMIT_MIN)
 
 
 def device_commit_paired(codeword_mont: jnp.ndarray):

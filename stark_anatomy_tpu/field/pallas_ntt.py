@@ -166,8 +166,15 @@ def fused_stages(
         )
         args.append(p4)
 
+    # NOTE: a named closure, NOT functools.partial — the partial object's
+    # repr (with its memory address) leaks into the serialized computation
+    # and gives every process a fresh persistent-cache key, silently
+    # recompiling the fused kernels on each run (measured ~4-10 s each)
+    def _stages_kernel_entry(*refs):
+        return _stages_kernel(stages, has_post, *refs)
+
     out = pl.pallas_call(
-        functools.partial(_stages_kernel, stages, has_post),
+        _stages_kernel_entry,
         grid=(batch // g,),
         in_specs=in_specs,
         out_specs=spec,

@@ -55,27 +55,36 @@ def mont_const(value: int) -> jnp.ndarray:
         )[:, None]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _power_table_core(step: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Doubling construction as ONE executable: powers[2^k + i] =
+    powers[2^k] * powers[i].  Keeping the whole loop in one jit matters on
+    remote device tunnels where every eager dispatch costs ~25 ms — the
+    unjitted form paid that 2*log2(n) times per table."""
+    table = F.mont_one(1)
+    size = 1
+    while size < n:
+        # compact lowering: ~40 traced ops per multiply instead of ~800 —
+        # table building is bandwidth-trivial, but RETRACING the unrolled
+        # form cost seconds per table size per process
+        chunk = F._mont_mul_compact(table, jnp.broadcast_to(step, table.shape))
+        table = jnp.concatenate([table, chunk], axis=-1)
+        step = F._mont_mul_compact(step, step)  # base^(2*size)
+        size *= 2
+    return table[..., :n]
+
+
 def power_table(base: int, n: int) -> jnp.ndarray:
     """Device table [base^0, ..., base^(n-1)]: (NLIMBS, n), Montgomery form.
 
-    Built by doubling: each of the log2(n) steps appends
-    powers[2^k + i] = powers[2^k] * powers[i], one vectorized multiply.
     Arbitrary n >= 1 (over-built to the next power of two and sliced —
     prefix zerofiers need odd lengths like count//2 + 1).  Built under
-    ensure_compile_time_eval so lazily-triggered construction inside an
-    outer jit trace still yields concrete (cacheable) arrays.
+    ensure_compile_time_eval when triggered inside an outer jit trace so
+    cached tables are always concrete.
     """
     assert n >= 1
     with _concrete_ctx():
-        table = F.mont_one(1)
-        step = mont_const(base)
-        size = 1
-        while size < n:
-            chunk = F.mont_mul(table, jnp.broadcast_to(step, table.shape))
-            table = jnp.concatenate([table, chunk], axis=-1)
-            step = F.mont_mul(step, step)  # base^(2*size)
-            size *= 2
-        return table[..., :n]
+        return _power_table_core(mont_const(base), n)
 
 
 def bit_reversal_permutation(n: int) -> np.ndarray:

@@ -99,6 +99,21 @@ _ntt_core_jit = jax.jit(ntt_core)
 _FOUR_STEP_MIN = 1 << 14
 
 
+@functools.partial(jax.jit, static_argnames=("n1", "n2"))
+def _cross_core(row_bases: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
+    """(log2(n2), L, n1) row bases -> (n2, L, n1) cross-twiddle block by
+    doubling over the j2 axis (one executable)."""
+    block = F.mont_one(n1)[None]                        # (1, L, n1)
+    s, k = 1, 0
+    while s < n2:
+        block = jnp.concatenate(
+            [block, F._mont_mul_compact(block, row_bases[k][None])], axis=0
+        )
+        s *= 2
+        k += 1
+    return block
+
+
 @functools.lru_cache(maxsize=None)
 def _four_step_tables(n: int, inverse: bool) -> dict:
     """Device tables for the n = n1*n2 four-step NTT, built once per size."""
@@ -113,13 +128,13 @@ def _four_step_tables(n: int, inverse: bool) -> dict:
     # cross[j2, :, k1] = w^(j2*k1), built by doubling over j2: rows
     # [s, 2s) equal rows [0, s) times the single row [w^(s*k1)]_{k1} —
     # log2(n2) batched multiplies, never touching a full length-n power
-    # table (the previous full-table gather cost ~640 MB extra at 2^24)
-    block = F.mont_one(n1)[None]                        # (1, L, n1)
-    s = 1
-    while s < n2:
-        row = power_table(pow(w, s, P), n1)[None]       # (1, L, n1)
-        block = jnp.concatenate([block, F.mont_mul(block, row)], axis=0)
-        s *= 2
+    # table (the previous full-table gather cost ~640 MB extra at 2^24).
+    # Row bases stacked and the doubling run as ONE executable (eager
+    # dispatch latency through remote device tunnels is ~25 ms/op).
+    row_bases = jnp.stack(
+        [power_table(pow(w, 1 << k, P), n1) for k in range(max(n2.bit_length() - 1, 1))]
+    )
+    block = _cross_core(row_bases, n1, n2)
     return {
         "n1": n1,
         "n2": n2,
@@ -142,10 +157,24 @@ def _four_step_jit(x, bitrev1, w1, cross, bitrev2, w2, n_inv, n1, n2):
     return out
 
 
+# When true, ntt() skips the four-step path and uses the scan butterfly.
+# Preprocessing recursions (prefix_zerofier) touch ~10 distinct transform
+# sizes ONCE each; the four-step would pay seconds of Python tracing of
+# its fused kernels per size per process for a ~100 ms runtime win, while
+# the scan path traces one small stage body.  The per-proof hot sizes
+# (the LDE/iNTT domains) keep the four-step.
+_SCAN_ONLY = False
+
+
 def _four_step_ok(n: int) -> bool:
     from ..field.pallas_kernels import pallas_available
 
-    return pallas_available() and n >= _FOUR_STEP_MIN and n <= (1 << 24)
+    return (
+        not _SCAN_ONLY
+        and pallas_available()
+        and n >= _FOUR_STEP_MIN
+        and n <= (1 << 24)
+    )
 
 
 def _four_step_ntt(values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
@@ -355,6 +384,15 @@ def prefix_zerofier(root: int, count: int) -> jnp.ndarray:
     """
     from ..field.scalar import P
     from .domain import mont_const
+
+    global _SCAN_ONLY
+    if not _SCAN_ONLY:
+        # top-level call: confine the whole recursion to the scan NTT
+        _SCAN_ONLY = True
+        try:
+            return prefix_zerofier(root, count)
+        finally:
+            _SCAN_ONLY = False
 
     if count <= HOST_ZEROFIER_MAX:
         from ..poly.host_ntt import host_zerofier

@@ -120,7 +120,7 @@ class ShardedFastStark(FastStark):
         from ..commit.merkle import ShardedRows
         from ..field import ops as F
 
-        if use_device_commit():
+        if use_device_commit(codeword.shape[-1]):
             # TPU mesh: hash on device — elementwise compression stays
             # shard-local under GSPMD, tree reduction crosses shards only
             # in the tiny top levels; nothing bulk reaches the host

@@ -245,7 +245,7 @@ class FastStark(StarkParams):
         byte-identical commitments."""
         from ..commit.device_merkle import device_commit_paired, use_device_commit
 
-        if use_device_commit():
+        if use_device_commit(codeword.shape[-1]):
             return device_commit_paired(codeword)
         from ..utils.convert import canonical_np
 

@@ -95,7 +95,7 @@ class Fri:
     def _commit_codeword_local(self, codeword: jnp.ndarray):
         from ..commit.device_merkle import device_commit_paired, use_device_commit
 
-        if use_device_commit():
+        if use_device_commit(codeword.shape[-1]):
             # TPU: hash where the codeword lives; only the root crosses
             # the (slow) transfer boundary (commit/device_merkle.py)
             return device_commit_paired(codeword)

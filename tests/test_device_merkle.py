@@ -66,3 +66,51 @@ def test_device_rows_gather():
     # and the host-accessor path of gather_rows agrees
     canon = canonical_np(cw)
     assert gather_rows(canon, idx) == [vals[i] for i in idx]
+
+
+def test_full_prover_device_commit_byte_identical(monkeypatch):
+    """A proof generated with the device commitment path forced on must be
+    BYTE-IDENTICAL to the host-committed proof for the same randomness —
+    the two paths are lowerings of one commitment scheme."""
+    import hashlib
+
+    from stark_anatomy_tpu.models.mimc import make_stark, prove_chain, verify_chain
+    from stark_anatomy_tpu.field.scalar import Field, FieldElement
+
+    def det_urandom(seed: bytes):
+        state = {"ctr": 0}
+
+        def rand(n: int) -> bytes:
+            out = b""
+            while len(out) < n:
+                out += hashlib.blake2b(
+                    seed + state["ctr"].to_bytes(8, "big")
+                ).digest()
+                state["ctr"] += 1
+            return out[:n]
+
+        return rand
+
+    x = FieldElement(RNG.randrange(P), Field.main())
+    proofs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("STARK_TPU_DEVICE_HASH", mode)
+        mimc, stark = make_stark(15, 4, 4, 8)
+        tz = stark.preprocess()
+        out, proof, _ = prove_chain(mimc, stark, x, tz)
+        # prove_chain samples randomizers through os.urandom; redo via
+        # stark.prove with deterministic randomness for byte comparison
+        cols = mimc.trace_columns(x.value)
+        proof = stark.prove(
+            None,
+            mimc.transition_constraints(),
+            mimc.boundary_constraints(x, out),
+            tz,
+            air_evaluator=mimc.air_evaluator(),
+            trace_columns=cols,
+            urandom=det_urandom(b"device-vs-host"),
+        )
+        proofs[mode] = (proof, tz.root)
+        assert verify_chain(mimc, stark, x, out, proof, tz.root)
+    assert proofs["0"][1] == proofs["1"][1], "preprocess roots differ"
+    assert proofs["0"][0] == proofs["1"][0], "proof bytes differ across commit paths"

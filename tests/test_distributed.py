@@ -98,3 +98,60 @@ def test_multihost_init_noop_single_process():
     report = scaling_report(lambda s: calls.append(s), [1, 2], reps=1)
     assert [r["shards"] for r in report] == [1, 2]
     assert report[0]["efficiency"] == 1.0
+
+
+def test_multihost_two_process_smoke(tmp_path):
+    """init_distributed's REAL branch (parallel/multihost.py): two local
+    CPU processes wire up through jax.distributed; each must see
+    process_count()==2 and only process 0 is the controller.  (Round-2
+    verdict: the multi-process path had never executed anywhere.)"""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = tmp_path / "mh_child.py"
+    child.write_text(
+        """
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["STARK_REPO"])
+from stark_anatomy_tpu.parallel.multihost import init_distributed, is_controller
+assert init_distributed() is True
+assert jax.process_count() == 2, jax.process_count()
+pid = int(os.environ["STARK_TPU_PROC_ID"])
+assert is_controller() == (pid == 0)
+print("MH_OK", pid)
+"""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            STARK_REPO=repo,
+            STARK_TPU_COORD=f"127.0.0.1:{port}",
+            STARK_TPU_NUM_PROC="2",
+            STARK_TPU_PROC_ID=str(pid),
+        )
+        env.pop("XLA_FLAGS", None)  # children don't need the virtual mesh
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(child)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"MH_OK {pid}" in out
