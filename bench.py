@@ -78,14 +78,23 @@ def main():
 
         from stark_anatomy_tpu.ops import ntt as NTT
 
+        import numpy as np
+
         n = 1 << 20
         x = jnp.zeros((8, n), dtype=jnp.uint32).at[0, :].set(1)
-        NTT.ntt(x).block_until_ready()  # compile
+
+        def sync(arr):
+            # block_until_ready does not reliably synchronize through the
+            # axon tunnel; a data-dependent host read does
+            return int(np.asarray(jax.device_get(arr.reshape(-1)[:1]))[0])
+
+        y = NTT.ntt(x)
+        sync(y)  # compile + warm
+        reps = 30
         t0 = time.time()
-        reps = 5
         for _ in range(reps):
-            y = NTT.ntt(x)
-        y.block_until_ready()
+            y = NTT.ntt(y)  # dependent chain: no async-overlap illusion
+        sync(y)
         dt = (time.time() - t0) / reps
         # ~N/2*log2(N) butterfly multiplies + adds/subs
         field_ops = n // 2 * 20 * 3
