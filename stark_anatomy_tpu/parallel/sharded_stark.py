@@ -107,6 +107,11 @@ class ShardedFastStark(FastStark):
             return MerkleForest.from_limbs_paired_sharded(np.asarray(canon), S)
         return MerkleTree.from_limbs_paired(canon)
 
+    def _commit_rows_many(self, codewords: jnp.ndarray):
+        """Per-register shard-local commits (the base class's batched
+        host canonicalization would gather the full array)."""
+        return [self._commit_rows(codewords[s]) for s in range(codewords.shape[0])]
+
     def _commit_rows(self, codeword: jnp.ndarray):
         """Shard-local commitment: canonicalize WHERE THE SHARDS LIVE
         (from_mont is elementwise, so XLA keeps it shard-local), pull each

@@ -252,6 +252,21 @@ class FastStark(StarkParams):
         canon = canonical_np(codeword)
         return canon, self._merkle_from_canon(canon)
 
+    def _commit_rows_many(self, codewords: jnp.ndarray):
+        """Commit R stacked codewords (R, L, N).  On the host path all R
+        are canonicalized in ONE device call + transfer (each separate
+        call pays ~25 ms of tunnel dispatch latency — measurable at small
+        domains where the data itself is tiny)."""
+        from ..commit.device_merkle import use_device_commit
+
+        R = codewords.shape[0]
+        if use_device_commit(codewords.shape[-1]):
+            return [self._commit_rows(codewords[s]) for s in range(R)]
+        from ..utils.convert import canonical_np
+
+        canon = canonical_np(codewords)                   # (R, N, L)
+        return [(canon[s], self._merkle_from_canon(canon[s])) for s in range(R)]
+
     def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
         """(..., R, L, n) trace columns -> (..., R, L, N_fri) LDE.
 
@@ -397,8 +412,7 @@ class FastStark(StarkParams):
         with self.timer.phase("commit_bq"):
             bq_trees: List[MerkleTree] = []
             bq_rows = []                                      # opening sources
-            for s in range(R):
-                rows, tree = self._commit_rows(bq_lde[s])
+            for rows, tree in self._commit_rows_many(bq_lde):
                 bq_rows.append(rows)
                 bq_trees.append(tree)
                 proof_stream.push(tree.root)
