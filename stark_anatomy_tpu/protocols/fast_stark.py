@@ -30,6 +30,7 @@ import os
 from functools import reduce
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -461,35 +462,25 @@ class FastStark(StarkParams):
         # per-register [bq, shifted bq] (reference: fast_stark.py:130-145),
         # but algebraically  w_a*q + w_b*x^s*q = q * (w_a + w_b*x^s),  so
         # each quotient is multiplied ONCE by a fused weight codeword —
-        # never materializing the shifted codewords or a (W, L, N) stacked
-        # term tensor (at N = 2^24 that stack alone is W/2 GB of HBM).
-        # Field sums are exact, so the combination VALUES (and hence the
-        # proof bytes) are identical to the unfused form.
+        # the shifted codewords are never materialized.  Field sums are
+        # exact, so the combination VALUES (and hence the proof bytes) are
+        # identical to the unfused form.  The whole reduction runs as ONE
+        # jitted call (_combination_core): per-term eager ops paid ~25 ms
+        # of dispatch latency each through the device tunnel.
         with self.timer.phase("combination"):
             tq_bounds = self.transition_quotient_degree_bounds(transition_constraints)
             bq_bounds = self.boundary_quotient_degree_bounds(n_rows, boundary)
-
-            def fused_weight(w_a, w_b, bound):
-                return F.add(
-                    mont_const(w_a.value),
-                    F.mont_mul(
-                        mont_const(w_b.value), self._x_lde_pow(max_degree - bound)
-                    ),
-                )
-
-            # eager per-term accumulation: each op is its own jitted kernel,
-            # so no XLA fusion-recompute chains form (see field_sum's note)
-            combo = F.mont_mul(rand_lde, mont_const(weights[0].value))
-            idx = 1
-            for s, b in enumerate(tq_bounds):
-                ws = fused_weight(weights[idx], weights[idx + 1], b)
-                combo = F.add(combo, F.mont_mul(tq_lde[s], ws))
-                idx += 2
-            for s, b in enumerate(bq_bounds):
-                ws = fused_weight(weights[idx], weights[idx + 1], b)
-                combo = F.add(combo, F.mont_mul(bq_lde[s], ws))
-                idx += 2
-            del ws
+            tq_shift = jnp.stack(
+                [self._x_lde_pow(max_degree - b) for b in tq_bounds]
+            )
+            bq_shift = jnp.stack(
+                [self._x_lde_pow(max_degree - b) for b in bq_bounds]
+            )
+            w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
+            combo = _combination_core(
+                rand_lde, tq_lde, bq_lde, tq_shift, bq_shift, w_dev
+            )
+            del tq_shift, bq_shift
             _jax.block_until_ready(combo)
         del tq_lde, bq_lde, rand_lde, rand_poly_dev
 
@@ -674,6 +665,29 @@ class FastStark(StarkParams):
             raise MalformedProof("trailing transcript objects")
 
         return True
+
+
+@jax.jit
+def _combination_core(rand_lde, tq_lde, bq_lde, tq_shift, bq_shift, weights):
+    """Weighted combination codeword in one executable.
+
+    weights: (W, L, 1) in transcript order [w_rand, (w_tq, w_tq_sh)*C,
+    (w_bq, w_bq_sh)*R]; tq_lde/tq_shift (C, L, N); bq_lde/bq_shift
+    (R, L, N).  Terms are stacked and reduced with the scan-based
+    field_sum — NOT a Python add-chain (field/ops.py fusion note)."""
+    C = tq_lde.shape[0]
+    R = bq_lde.shape[0]
+    terms = [F.mont_mul(rand_lde, weights[0])]
+    idx = 1
+    for s in range(C):
+        ws = F.add(weights[idx], F.mont_mul(weights[idx + 1], tq_shift[s]))
+        terms.append(F.mont_mul(tq_lde[s], ws))
+        idx += 2
+    for s in range(R):
+        ws = F.add(weights[idx], F.mont_mul(weights[idx + 1], bq_shift[s]))
+        terms.append(F.mont_mul(bq_lde[s], ws))
+        idx += 2
+    return F.field_sum(jnp.stack(terms))
 
 
 # ---------------------------------------------------------------------------
