@@ -139,8 +139,11 @@ def _take_padded(arr: jnp.ndarray, idx: Sequence[int]) -> np.ndarray:
     count PADDED to the next power of two (duplicating the last index)
     before the gather: opening index sets vary in size per proof, and
     every distinct gather size is a fresh XLA compile — padding keeps the
-    executable cache to log2(n) shapes."""
+    executable cache to log2(n) shapes.  An empty index list returns an
+    empty result (matching the host MerkleTree.open on depth-0 trees)."""
     k = len(idx)
+    if k == 0:
+        return np.empty(arr.shape[:-1] + (0,), dtype=arr.dtype)
     padded = 1 << max(k - 1, 0).bit_length()
     idx = list(idx) + [idx[-1]] * (padded - k)
     out = np.asarray(jax.device_get(jnp.take(arr, jnp.asarray(idx), axis=-1)))
@@ -265,11 +268,18 @@ def use_device_commit(n: Optional[int] = None) -> bool:
     import os
 
     env = os.environ.get("STARK_TPU_DEVICE_HASH")
-    if env is not None:
-        if env == "0":
-            return False
+    if env == "0":
+        return False
+    if env == "1":
         return True if n is None else n >= int(
             os.environ.get("STARK_TPU_DEVICE_HASH_MIN", 0)
+        )
+    if env is not None:
+        import warnings
+
+        warnings.warn(
+            f"STARK_TPU_DEVICE_HASH={env!r} is not '0' or '1'; ignoring "
+            "and using backend autodetection"
         )
     try:
         on_tpu = jax.default_backend() in ("tpu", "axon")

@@ -1,9 +1,12 @@
-"""Cached binary Merkle trees over blake2b, with native batch hashing.
+"""Cached binary Merkle trees over blake2s-256, with native batch hashing.
 
-Same commitment scheme as the reference (merkle.py:3-44): power-of-two leaf
-count, blake2b digests (32-byte here — deviation, see commit/hashing.py),
-leaf digest = blake2b(bytes(obj)) where bytes() of a field element is its
-decimal string (algebra.py:56-57).
+Commitment structure mirrors the reference (merkle.py:3-44): power-of-two
+leaf count, 32-byte digests, binary parent hashing.  The hash and leaf
+encoding deviate (DEVIATIONS.md #12): blake2s-256 over the 16-byte
+little-endian canonical element encoding (commit/hashing.py) instead of
+the reference's blake2b over decimal strings (algebra.py:56-57) — chosen
+so leaves and nodes each hash in ONE blake2s compression and the whole
+tree can also be built on device (commit/device_merkle.py), bit-exactly.
 
 Unlike the reference — which recursively re-hashes the whole tree for every
 ``open`` (merkle.py:16-24), an O(N) cost per query — :class:`MerkleTree`
@@ -48,7 +51,9 @@ class MerkleTree:
     @classmethod
     def from_limbs(cls, canonical_limbs: np.ndarray) -> "MerkleTree":
         """Commit to a codeword given as a canonical (n, NLIMBS) uint32 limb
-        array (e.g. np.asarray(F.from_mont(codeword)))."""
+        array (e.g. np.asarray(F.from_mont(codeword))): each leaf is
+        blake2s-256 over the element's 16-byte little-endian encoding,
+        hashed natively in C++ without creating Python big-ints."""
         n = canonical_limbs.shape[0]
         assert n > 0 and n & (n - 1) == 0, "leaf count must be a power of two"
         return cls(_digests=NB.leaves_from_limbs(np.asarray(canonical_limbs)))

@@ -1,10 +1,11 @@
 """Shared per-limb-row modular arithmetic primitives.
 
 Single source of truth for the unrolled row-list add/sub/conditional-
-subtract logic used by THREE lowerings of the same field math:
-field/ops.py (XLA-fused path), field/pallas_kernels.py and
-field/pallas_ntt.py (Pallas kernel bodies).  A modulus or limb-layout
-change lands here once (round-2 advisory: the logic was triplicated).
+subtract logic shared by the lowerings of the same field math:
+field/ops.py (XLA-fused path), ops/stage_ntt.py (staged NTT passes) and
+field/pallas_kernels.py (the opt-in Pallas comparison kernel).  A modulus
+or limb-layout change lands here once (round-2 advisory: the logic was
+triplicated).
 
 All helpers operate on Python lists of NLIMBS equal-shape uint32 arrays
 ("rows") holding 16-bit limbs, least-significant first — the layout both

@@ -210,26 +210,31 @@ def _mont_mul_compact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_pallas() -> bool:
-    """Use the Pallas kernel on real TPU backends (trace-time decision).
+    """Opt-in Pallas lowering (STARK_TPU_PALLAS=1).
 
-    Every intermediate of the ~800-op unrolled pipeline then lives in
-    VMEM/registers inside one Pallas program instead of relying on XLA
-    fusion; disable with STARK_TPU_NO_PALLAS=1.
+    OFF by default after round-4 measurement: on this TPU stack XLA's own
+    fusion of the unrolled row pipeline runs at HBM speed (~0.12 ms for a
+    full 2^20 multiply), while the Mosaic-compiled kernel runs the same
+    arithmetic ~3.6x slower (tools/kernel_probe2.py, difference-method
+    timing).  The kernel is kept for comparison benchmarks only.
     """
+    if os.environ.get("STARK_TPU_PALLAS") != "1":
+        return False
     from .pallas_kernels import pallas_available
 
     return pallas_available()
 
 
 def _mont_mul_core(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch: compact form (CPU), Pallas kernel (TPU, aligned shapes),
-    or the XLA-fused unrolled row form (fallback)."""
+    """Dispatch: compact form (CPU) or the XLA-fused unrolled row form
+    (TPU — measured at HBM speed, see _use_pallas)."""
     if _use_compact():
         return _mont_mul_compact(a, b)
-    from .pallas_kernels import BLOCK, mont_mul_pallas_core
+    if _use_pallas():
+        from .pallas_kernels import BLOCK, mont_mul_pallas_core
 
-    if _use_pallas() and a.shape[-1] % BLOCK == 0 and a.shape == b.shape:
-        return mont_mul_pallas_core(a, b)
+        if a.shape[-1] % BLOCK == 0 and a.shape == b.shape:
+            return mont_mul_pallas_core(a, b)
     return _stack(_mont_mul_rows(_rows(a), _rows(b)))
 
 

@@ -1,11 +1,13 @@
-"""Pallas TPU kernels for the field hot path.
+"""Pallas Montgomery-multiply kernel (opt-in comparison lowering).
 
-The jnp Montgomery pipeline (field/ops.py) relies on XLA fusing ~800
-elementwise ops; XLA gets partway there (~2.9 ms for 2^20 multiplies on
-v5e) but still materializes intermediate groups to HBM.  These kernels run
-the same unrolled per-limb-row arithmetic inside a single Pallas program,
-so every intermediate lives in VMEM/registers and the op is memory-bound
-on exactly its inputs and outputs.
+NOT on the hot path since round 4: difference-method profiling on the
+real chip (tools/ntt_probe.py) measured the XLA-fused unrolled row
+pipeline at ~0.12 ms for a full 2^20 multiply (HBM-bound at ~820 GB/s)
+versus ~0.42 ms for this kernel running identical arithmetic — Mosaic's
+u32 codegen on this stack is several times slower than XLA's fusion.
+Kept as a bit-exact alternate lowering for benchmarking (enable with
+STARK_TPU_PALLAS=1) and as the reference implementation of the kernel
+style; see field/ops.py:_use_pallas.
 
 Layout contract matches field/ops.py: uint32 (..., NLIMBS, n), 16-bit
 limbs, Montgomery form.

@@ -1,9 +1,18 @@
 """Device NTT kernels: the throughput core of the prover.
 
-Iterative radix-2 decimation-in-time over limb-first (..., NLIMBS, N)
-Montgomery arrays: one bit-reversal gather followed by log2(N) butterfly
-stages, each a reshape + one Montgomery multiply + modular add/sub.
-Twiddles are strided views of a cached power table (ops/domain.py).
+Two lowerings of the same bit-exact transform:
+
+* ``stage_ntt.staged_ntt`` — the HOT path for n >= MIN_STAGED: a
+  four-step decomposition built from XLA-fused radix-4 butterfly passes
+  over packed 16-byte elements (see ops/stage_ntt.py for the measured
+  design rationale; it replaced the round-2/3 Pallas kernels after
+  difference-method profiling showed XLA fusion is 4-20x faster than
+  Mosaic codegen for this arithmetic on the target chip).
+* ``ntt_core`` — a lax.scan over radix-2 butterfly stages: ONE traced
+  multiply body regardless of log2(n).  Used for tiny transforms and for
+  preprocessing recursions (prefix_zerofier) that touch many distinct
+  sizes once — the staged path would pay seconds of tracing per size for
+  a runtime win that never amortizes.
 
 Public functions are thin eager wrappers that warm the domain caches and
 then dispatch to jitted inner kernels — building tables inside a trace
@@ -24,14 +33,7 @@ import jax.numpy as jnp
 
 from ..field import ops as F
 from .domain import DOMAINS, coset_table, mont_const, power_table
-
-
-def _use_pallas_ntt(n: int) -> bool:
-    """Fused VMEM butterfly kernels on real TPU backends (trace-time)."""
-    from ..field.pallas_kernels import pallas_available
-    from ..field.pallas_ntt import fused_ok
-
-    return pallas_available() and fused_ok(n)
+from .stage_ntt import staged_ntt, staged_ok
 
 
 def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -54,11 +56,6 @@ def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
     regardless of log2(n) — an unrolled loop would inline the ~800-op
     multiply log2(n) times and blow up XLA compile time.
     """
-    if _use_pallas_ntt(n):
-        from ..field.pallas_ntt import fused_stages, stage_twiddles
-
-        return fused_stages(x, stage_twiddles(powers, n))
-
     log_n = n.bit_length() - 1
     iota = jnp.arange(n, dtype=jnp.uint32)
     ms = jnp.asarray([1 << s for s in range(log_n)], dtype=jnp.uint32)
@@ -79,7 +76,7 @@ def _stages(x: jnp.ndarray, powers: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def ntt_core(values, bitrev, powers, n_inv=None):
-    """Jittable NTT body with tables passed in explicitly."""
+    """Jittable NTT body with tables passed in explicitly (scan lowering)."""
     n = values.shape[-1]
     x = jnp.take(values, bitrev, axis=-1)
     x = _stages(x, powers, n)
@@ -91,105 +88,17 @@ def ntt_core(values, bitrev, powers, n_inv=None):
 _ntt_core_jit = jax.jit(ntt_core)
 
 
-# ---------------------------------------------------------------------------
-# four-step (Bailey) path for large transforms on TPU: two rounds of fused
-# VMEM kernels + transposes instead of log2(n) HBM-bound stages
-# ---------------------------------------------------------------------------
-
-_FOUR_STEP_MIN = 1 << 14
-
-
-@functools.partial(jax.jit, static_argnames=("n1", "n2"))
-def _cross_core(row_bases: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
-    """(log2(n2), L, n1) row bases -> (n2, L, n1) cross-twiddle block by
-    doubling over the j2 axis (one executable)."""
-    block = F.mont_one(n1)[None]                        # (1, L, n1)
-    s, k = 1, 0
-    while s < n2:
-        block = jnp.concatenate(
-            [block, F._mont_mul_compact(block, row_bases[k][None])], axis=0
-        )
-        s *= 2
-        k += 1
-    return block
-
-
-@functools.lru_cache(maxsize=None)
-def _four_step_tables(n: int, inverse: bool) -> dict:
-    """Device tables for the n = n1*n2 four-step NTT, built once per size."""
-    from ..field.scalar import P
-    from ..field.pallas_ntt import split_four_step, stage_twiddles
-
-    n1, n2 = split_four_step(n)
-    dom = DOMAINS.get(n)
-    d1, d2 = DOMAINS.get(n1), DOMAINS.get(n2)
-    pk = "inv_powers" if inverse else "fwd_powers"
-    w = dom["omega_inv"] if inverse else dom["omega"]
-    # cross[j2, :, k1] = w^(j2*k1), built by doubling over j2: rows
-    # [s, 2s) equal rows [0, s) times the single row [w^(s*k1)]_{k1} —
-    # log2(n2) batched multiplies, never touching a full length-n power
-    # table (the previous full-table gather cost ~640 MB extra at 2^24).
-    # Row bases stacked and the doubling run as ONE executable (eager
-    # dispatch latency through remote device tunnels is ~25 ms/op).
-    row_bases = jnp.stack(
-        [power_table(pow(w, 1 << k, P), n1) for k in range(max(n2.bit_length() - 1, 1))]
-    )
-    block = _cross_core(row_bases, n1, n2)
-    return {
-        "n1": n1,
-        "n2": n2,
-        "bitrev1": d1["bitrev"],
-        "w1": stage_twiddles(d1[pk], n1),
-        "cross": block,
-        "bitrev2": d2["bitrev"],
-        "w2": stage_twiddles(d2[pk], n2),
-        "n_inv": mont_const(pow(n, P - 2, P)),
-    }
-
-
-@functools.partial(jax.jit, static_argnames=("n1", "n2"))
-def _four_step_jit(x, bitrev1, w1, cross, bitrev2, w2, n_inv, n1, n2):
-    from ..field.pallas_ntt import four_step_core
-
-    out = four_step_core(x, bitrev1, w1, cross, bitrev2, w2, n1, n2)
-    if n_inv is not None:
-        out = F.mont_mul(out, n_inv)
-    return out
-
-
-# When true, ntt() skips the four-step path and uses the scan butterfly.
+# When true, ntt() skips the staged path and uses the scan butterfly.
 # Preprocessing recursions (prefix_zerofier) touch ~10 distinct transform
-# sizes ONCE each; the four-step would pay seconds of Python tracing of
-# its fused kernels per size per process for a ~100 ms runtime win, while
-# the scan path traces one small stage body.  The per-proof hot sizes
-# (the LDE/iNTT domains) keep the four-step.
+# sizes ONCE each; the staged transform would pay seconds of Python
+# tracing per size per process for a ~100 ms runtime win, while the scan
+# path traces one small stage body.  The per-proof hot sizes (the
+# LDE/iNTT domains) keep the staged path.
 _SCAN_ONLY = False
 
 
-def _four_step_ok(n: int) -> bool:
-    from ..field.pallas_kernels import pallas_available
-
-    return (
-        not _SCAN_ONLY
-        and pallas_available()
-        and n >= _FOUR_STEP_MIN
-        and n <= (1 << 24)
-    )
-
-
-def _four_step_ntt(values: jnp.ndarray, inverse: bool) -> jnp.ndarray:
-    t = _four_step_tables(n := values.shape[-1], inverse)
-    return _four_step_jit(
-        values,
-        t["bitrev1"],
-        t["w1"],
-        t["cross"],
-        t["bitrev2"],
-        t["w2"],
-        t["n_inv"] if inverse else None,
-        t["n1"],
-        t["n2"],
-    )
+def _staged_ok(n: int) -> bool:
+    return not _SCAN_ONLY and staged_ok(n)
 
 
 def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -202,8 +111,8 @@ def ntt(values: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     assert n & (n - 1) == 0, "NTT length must be a power of two"
     if n == 1:
         return values
-    if _four_step_ok(n):
-        return _four_step_ntt(values, inverse)
+    if _staged_ok(n):
+        return staged_ntt(values, inverse)
     dom = DOMAINS.get(n)
     powers = dom["inv_powers"] if inverse else dom["fwd_powers"]
     n_inv = dom["n_inv"] if inverse else None
@@ -234,36 +143,17 @@ def _lde_core(padded, scale_tab, bitrev, powers, order):
     return ntt_core(F.mont_mul(padded, scale_tab), bitrev, powers)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2"))
-def _lde_four_step_jit(padded, scale_tab, bitrev1, w1, cross, bitrev2, w2, n1, n2):
-    from ..field.pallas_ntt import four_step_core
-
-    return four_step_core(
-        F.mont_mul(padded, scale_tab), bitrev1, w1, cross, bitrev2, w2, n1, n2
-    )
-
-
 def coset_evaluate(coeffs: jnp.ndarray, offset: int, order: int) -> jnp.ndarray:
     """Low-degree extension: evaluate on the coset offset * <omega_order>.
 
     Equivalent to the reference's fast_coset_evaluate (ntt.py:132-135):
-    scale by the offset then a length-``order`` NTT.
+    scale by the offset then a length-``order`` NTT.  The coset scale is
+    fused into the staged transform's first pass.
     """
     padded = _pad_coeffs(coeffs, order)
     scale_tab = coset_table(offset, order)
-    if _four_step_ok(order):
-        t = _four_step_tables(order, False)
-        return _lde_four_step_jit(
-            padded,
-            scale_tab,
-            t["bitrev1"],
-            t["w1"],
-            t["cross"],
-            t["bitrev2"],
-            t["w2"],
-            t["n1"],
-            t["n2"],
-        )
+    if _staged_ok(order):
+        return staged_ntt(padded, scale_pre=scale_tab)
     dom = DOMAINS.get(order)
     return _lde_core(padded, scale_tab, dom["bitrev"], dom["fwd_powers"], order)
 
@@ -278,8 +168,8 @@ def coset_interpolate(values: jnp.ndarray, offset: int) -> jnp.ndarray:
     """Inverse of coset_evaluate at the same order."""
     n = values.shape[-1]
     inv_tab = coset_table(offset, n, inverse=True)
-    if _four_step_ok(n):
-        return F.mont_mul(ntt(values, inverse=True), inv_tab)
+    if _staged_ok(n):
+        return staged_ntt(values, inverse=True, scale_post=inv_tab)
     dom = DOMAINS.get(n)
     return _coset_interp_core(values, inv_tab, dom["bitrev"], dom["inv_powers"], dom["n_inv"])
 

@@ -123,8 +123,10 @@ class FastStark(StarkParams):
         if cache_path is not None and os.path.exists(cache_path):
             try:
                 coeffs = TransitionZerofier.load_coeffs(cache_path)
-            except ValueError:
-                os.remove(cache_path)  # stale format: recompute and re-save
+            except Exception:
+                # stale format OR unreadable artifact (truncated .npz raises
+                # BadZipFile/EOFError/OSError, not ValueError): recompute
+                os.remove(cache_path)
         if coeffs is None:
             from ..poly.host_ntt import host_zerofier
 

@@ -1,17 +1,22 @@
-"""Bulk randomness for large-trace provers.
+"""Bulk randomness for large-trace provers: seed-expanded ON DEVICE.
 
 The reference samples each randomizer with ``os.urandom(17)`` + a host
 big-int reduction (stark.py:79,117).  At BASELINE scale the randomizer
-polynomial has ~2^22 coefficients — millions of per-element host calls and
-object-array conversions.  This module draws ALL the bytes in one
-``os.urandom`` call and reduces them to field elements on device.
+polynomial has ~2^22 coefficients; round 3 uploaded all the raw bytes
+(16 B/element) through a ~54-107 MB/s host->device tunnel — seconds of
+pure transfer per proof.  Here only a 32-byte ``os.urandom`` seed crosses
+the boundary; the device expands it with blake2s-256 in counter mode
+(the same bit-exact compression kernel the Merkle commitment uses,
+commit/device_merkle.py) and REJECTION-SAMPLES to exact uniformity:
+each 32-byte digest yields two 128-bit candidates, candidates >= p are
+regenerated with a fresh round tag in an on-device ``lax.while_loop``
+(P[candidate >= p] ~ 0.205, so the loop runs ~log_{1/0.205}(count) ~ 10
+iterations of cheap vectorized hashing — no host round trips).
 
-Reduction: a uniform 128-bit value v satisfies v < 2p (p > 2^127), so
-v mod p is a single conditional subtract.  The result's statistical
-distance from uniform is ~(2^128 - p)/2^128 ≈ 0.2 bits of bias per
-element — fine for proof-of-computation blinding (MiMC chains), NOT for
-zero-knowledge-critical sampling; the RPSSS path keeps the reference's
-per-element host sampling (DEVIATIONS.md).
+The output distribution is exactly uniform on [0, p) conditioned on
+termination (standard rejection sampling); the randomness SOURCE is a
+PRF expansion of a 256-bit seed rather than raw urandom per element —
+documented in DEVIATIONS.md (blinding randomness, not consensus bytes).
 """
 
 from __future__ import annotations
@@ -21,24 +26,69 @@ import os
 import numpy as np
 
 from ..field import ops as F
+from ..field.limb_arith import P_LIMBS, sub_rows
 from ..field.limbs import NLIMBS
 
 
-def bulk_random_mont(count: int, urandom=os.urandom):
-    """``count`` pseudo-uniform field elements as a device Montgomery limb
-    array (NLIMBS, count), from one bulk entropy draw.
-
-    The raw bytes upload as uint8 and split into limbs ON DEVICE — the
-    numpy strided split cost ~2.3 s at 2^22 elements and quadrupled the
-    host->device transfer bytes."""
+def seed_expand_mont(count: int, seed: bytes):
+    """``count`` exactly-uniform field elements as a device Montgomery limb
+    array (NLIMBS, count), expanded on device from a 32-byte seed."""
+    import jax
     import jax.numpy as jnp
 
-    raw = np.frombuffer(urandom(16 * count), dtype=np.uint8).reshape(count, 16)
-    b = jnp.asarray(raw).astype(jnp.uint32)                     # (count, 16)
-    v = (b[:, 0::2] | (b[:, 1::2] << jnp.uint32(8))).T          # (NLIMBS, count)
-    assert v.shape == (NLIMBS, count)
-    # v < 2^128 < 2p: one conditional subtract lands in [0, p)
-    reduced = F._stack(
-        F._cond_sub_p_rows(F._rows(v), jnp.zeros_like(v[..., 0, :]))
-    )
-    return F.to_mont(reduced)
+    from ..commit.device_merkle import _compress_words
+
+    assert len(seed) == 32
+    half = (count + 1) // 2
+    seed_words = np.frombuffer(seed, dtype="<u4")  # (8,)
+
+    @jax.jit
+    def expand():
+        ctr = jnp.arange(half, dtype=jnp.uint32)
+
+        def digest(round_tag):
+            m = [jnp.broadcast_to(jnp.uint32(int(w)), (half,)) for w in seed_words]
+            m.append(ctr)
+            m.append(jnp.broadcast_to(round_tag, (half,)))
+            m.extend(jnp.zeros((half,), jnp.uint32) for _ in range(6))
+            return _compress_words(m, 40)  # 8 word arrays (half,)
+
+        def candidates(round_tag):
+            d = digest(round_tag)
+            # words 0-3 -> element 2i, words 4-7 -> element 2i+1 (LE128)
+            w = jnp.stack(d)                          # (8, half)
+            pair = jnp.stack([w[:4], w[4:]], axis=1)  # (4, 2, half)
+            words = pair.reshape(4, 2 * half)[:, :count]
+            limbs = [None] * NLIMBS
+            for k in range(4):
+                limbs[2 * k] = words[k] & jnp.uint32(0xFFFF)
+                limbs[2 * k + 1] = words[k] >> jnp.uint32(16)
+            return jnp.stack(limbs)                   # (NLIMBS, count)
+
+        def geq_p(v):
+            _, borrow = sub_rows([v[k] for k in range(NLIMBS)], P_LIMBS)
+            return borrow == 0                        # v >= p
+
+        v0 = candidates(jnp.uint32(0))
+        bad0 = geq_p(v0)
+
+        def cond(state):
+            v, bad, r = state
+            return jnp.any(bad)
+
+        def body(state):
+            v, bad, r = state
+            c = candidates(r)
+            v = jnp.where(bad[None, :], c, v)
+            return v, geq_p(v), r + jnp.uint32(1)
+
+        v, _, _ = jax.lax.while_loop(cond, body, (v0, bad0, jnp.uint32(1)))
+        return F.to_mont(v)
+
+    return expand()
+
+
+def bulk_random_mont(count: int, urandom=os.urandom):
+    """``count`` exactly-uniform field elements as a device Montgomery limb
+    array (NLIMBS, count); one 32-byte entropy draw, expanded on device."""
+    return seed_expand_mont(count, urandom(32))
