@@ -76,7 +76,7 @@ def main():
     try:
         import jax.numpy as jnp
 
-        from stark_anatomy_tpu.ops import ntt as NTT
+        from stark_anatomy_tpu.ops.stage_ntt import staged_ntt
 
         import numpy as np
 
@@ -88,29 +88,46 @@ def main():
             # axon tunnel; a data-dependent host read does
             return int(np.asarray(jax.device_get(arr.reshape(-1)[:1]))[0])
 
-        y = NTT.ntt(x)
-        sync(y)  # compile + warm
-        reps = 30
-        t0 = time.time()
-        for _ in range(reps):
-            y = NTT.ntt(y)  # dependent chain: no async-overlap illusion
-        sync(y)
-        dt = (time.time() - t0) / reps
-        # ~N/2*log2(N) butterfly multiplies + adds/subs
+        # DEVICE time via chain differencing: t(chain of 8) - t(chain of 4)
+        # cancels the axon tunnel's per-call dispatch (2-6 ms, time-shared
+        # and noisy) which a naive eager loop would measure instead of the
+        # transform (round-3 bench did; see tools/measure.py)
+        def chain(k):
+            @jax.jit
+            def run(v):
+                for _ in range(k):
+                    v = staged_ntt(v)
+                return v
+            return run
+
+        c4, c8 = chain(4), chain(8)
+        y = c4(x); sync(y)
+        y = c8(x); sync(y)
+        diffs = []
+        single = []
+        for _ in range(8):
+            t0 = time.time(); y = c4(y); sync(y); t4 = time.time() - t0
+            t0 = time.time(); y = c8(y); sync(y); t8 = time.time() - t0
+            diffs.append((t8 - t4) / 4)
+            single.append(t4 / 4)
+        dt = float(np.median(diffs))
+        dt_single = float(np.median(single))  # incl. amortized dispatch
         field_ops = n // 2 * 20 * 3
-        # roofline: the four-step path moves ~10 full-array HBM passes
-        # (2 fused kernels r+w, 2 transposes r+w, bitrev gather fused into
-        # the transposes' reads; field/pallas_ntt.py module doc) at v5e
-        # HBM ~819 GB/s; compute bound: ~(n/2)log2(n) mont_muls x ~300
-        # u32 ops at ~7 T u32-op/s
+        # roofline: idealized fully-fused four-step — ~10 full-array HBM
+        # passes at v5e's 819 GB/s; compute bound: ~(n/2)log2(n) mont_muls
+        # x ~300 u32 ops at ~7 T u32-op/s.  The XLA fusion model's own
+        # floor is higher (each multiply materializes ~3 arrays; see
+        # docs/ntt.md), but SOL is quoted against the idealized machine.
         array_bytes = 8 * n * 4
         hbm_roofline = 10 * array_bytes / 819e9
         compute_roofline = (n / 2 * 20 * 300) / 7e12
         roofline = max(hbm_roofline, compute_roofline)
         log(
-            f"NTT 2^20: {dt*1000:.2f} ms -> {field_ops/dt/1e9:.2f} Gfield-ops/s; "
-            f"roofline {roofline*1000:.2f} ms (hbm {hbm_roofline*1000:.2f} / "
-            f"compute {compute_roofline*1000:.2f}) -> {100*roofline/dt:.0f}% SOL"
+            f"NTT 2^20: {dt*1000:.2f} ms device -> {field_ops/dt/1e9:.2f} "
+            f"Gfield-ops/s; roofline {roofline*1000:.2f} ms "
+            f"(hbm {hbm_roofline*1000:.2f} / compute {compute_roofline*1000:.2f}) "
+            f"-> {100*roofline/dt:.0f}% SOL "
+            f"(single-call {dt_single*1000:.2f} ms incl tunnel dispatch)"
         )
     except Exception:
         import traceback
@@ -153,8 +170,13 @@ def main():
             stark.timer.counts.clear()
             t0 = time.time()
             out, proof, _ = prove_chain(mimc, stark, x, tz)
-            log(f"MiMC 2^20 steady-state prove: {time.time()-t0:.1f}s")
+            wall = time.time() - t0
+            log(f"MiMC 2^20 steady-state prove: {wall:.1f}s")
             log("mimc phases (steady-state):\n" + stark.timer.report())
+            log(
+                f"mimc phases sum {sum(stark.timer.totals.values()):.2f}s "
+                f"vs wall {wall:.2f}s (gap-free attribution)"
+            )
     except Exception:
         import traceback
 

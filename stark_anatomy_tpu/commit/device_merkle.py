@@ -59,19 +59,48 @@ def _compress_words(m: List[jnp.ndarray], t: int) -> List[jnp.ndarray]:
     (each (..., n) uint32), t = message byte length <= 64.  Returns the 8
     digest-word arrays.
 
-    The 10 rounds run as a lax.scan whose per-step input is that round's
-    SIGMA permutation — ONE ~110-op round body is traced regardless of
-    round count (an unrolled ~1100-op chain makes XLA:CPU compile time
-    explode, the same pathology field/ops.py's compact mont_mul dodges)."""
+    TPU lowering: the 10 rounds are UNROLLED (~1100 elementwise ops) so
+    XLA fuses the whole compression into a handful of passes over the
+    lanes — the scan form materialized the full (16, n) message + state
+    per round (~10x the HBM traffic; measured as an 18 s randomizer
+    phase at 2^22 elements before round 4).  CPU keeps the scan form:
+    XLA:CPU compile time explodes on the unrolled graph (the same
+    pathology field/ops.py's compact mont_mul dodges)."""
     shape = jnp.broadcast_shapes(*[x.shape for x in m])
-    ms = jnp.stack([jnp.broadcast_to(x, shape) for x in m])     # (16, ..., n)
     h_words = [np.uint32(int(w)) for w in _IV]
     h_words[0] = h_words[0] ^ np.uint32(0x01010020)  # digest len 32, fanout/depth 1
     v_init = list(h_words) + [np.uint32(int(w)) for w in _IV]
     v_init[12] = v_init[12] ^ np.uint32(t)
     v_init[14] = ~v_init[14]
-    v0 = jnp.stack([jnp.broadcast_to(jnp.uint32(int(w)), shape) for w in v_init])
 
+    unroll = jax.default_backend() in ("tpu", "axon")
+    if unroll:
+        mb = [jnp.broadcast_to(x, shape) for x in m]
+        v = [jnp.broadcast_to(jnp.uint32(int(w)), shape) for w in v_init]
+
+        def G(a, b, c, d, x, y):
+            v[a] = v[a] + v[b] + x
+            v[d] = _rotr(v[d] ^ v[a], 16)
+            v[c] = v[c] + v[d]
+            v[b] = _rotr(v[b] ^ v[c], 12)
+            v[a] = v[a] + v[b] + y
+            v[d] = _rotr(v[d] ^ v[a], 8)
+            v[c] = v[c] + v[d]
+            v[b] = _rotr(v[b] ^ v[c], 7)
+
+        for s in _SIGMA:
+            G(0, 4, 8, 12, mb[s[0]], mb[s[1]])
+            G(1, 5, 9, 13, mb[s[2]], mb[s[3]])
+            G(2, 6, 10, 14, mb[s[4]], mb[s[5]])
+            G(3, 7, 11, 15, mb[s[6]], mb[s[7]])
+            G(0, 5, 10, 15, mb[s[8]], mb[s[9]])
+            G(1, 6, 11, 12, mb[s[10]], mb[s[11]])
+            G(2, 7, 8, 13, mb[s[12]], mb[s[13]])
+            G(3, 4, 9, 14, mb[s[14]], mb[s[15]])
+        return [h_words[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+    ms = jnp.stack([jnp.broadcast_to(x, shape) for x in m])     # (16, ..., n)
+    v0 = jnp.stack([jnp.broadcast_to(jnp.uint32(int(w)), shape) for w in v_init])
     sigma = jnp.asarray(np.array(_SIGMA, dtype=np.int32))       # (10, 16)
 
     def round_fn(vt, s):
@@ -129,6 +158,26 @@ def _node_level(digests: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(_compress_words(m, 64))
 
 
+def _flat_tree_core(leaf_digests: jnp.ndarray) -> jnp.ndarray:
+    """All tree levels, leaf level first, concatenated: (..., 8, 2n-1).
+
+    Traced once per leaf count; running every level inside ONE executable
+    matters because each separate level call pays ~25 ms of tunnel
+    dispatch latency — ~0.5 s per commitment at 2^22 leaves (round-3
+    'fixed dispatch cost', now gone).  Supports leading batch axes.
+    """
+    levels = [leaf_digests]
+    while levels[-1].shape[-1] > 1:
+        d = levels[-1]
+        left, right = d[..., 0::2], d[..., 1::2]
+        m = [left[..., k, :] for k in range(8)] + [right[..., k, :] for k in range(8)]
+        levels.append(jnp.stack(_compress_words(m, 64), axis=-2))
+    return jnp.concatenate(levels, axis=-1) if len(levels) > 1 else levels[0]
+
+
+_flat_tree_jit = jax.jit(_flat_tree_core)
+
+
 def _digest_col_bytes(col: np.ndarray) -> bytes:
     """One (8,) u32 digest-word column -> the 32 digest bytes."""
     return col.astype("<u4").tobytes()
@@ -159,17 +208,24 @@ class DeviceMerkleTree:
 
     __slots__ = ("flat", "offsets", "depth", "_root")
 
-    def __init__(self, leaf_digests: jnp.ndarray):
-        levels = [leaf_digests]
-        while levels[-1].shape[-1] > 1:
-            levels.append(_node_level(levels[-1]))
-        self.depth = len(levels) - 1
+    def __init__(self, leaf_digests: jnp.ndarray = None, flat: jnp.ndarray = None,
+                 root: bytes = None):
+        """Build from (8, n) leaf digests (ONE jitted call for all levels),
+        or wrap a precomputed ``flat`` (8, 2n-1) level array — the fused
+        fold+commit path computes trees inside a larger executable."""
+        if flat is None:
+            flat = _flat_tree_jit(leaf_digests)
+        n = (flat.shape[-1] + 1) // 2
+        self.depth = max(n.bit_length() - 1, 0)
         self.offsets = [0]
-        for l in levels:
-            self.offsets.append(self.offsets[-1] + l.shape[-1])
-        self.flat = jnp.concatenate(levels, axis=-1) if len(levels) > 1 else levels[0]
-        del levels
-        self._root = _digest_col_bytes(
+        size = n
+        while True:
+            self.offsets.append(self.offsets[-1] + size)
+            if size == 1:
+                break
+            size //= 2
+        self.flat = flat
+        self._root = root if root is not None else _digest_col_bytes(
             np.asarray(jax.device_get(self.flat[:, -1:]))[:, 0]
         )
 
@@ -288,20 +344,57 @@ def use_device_commit(n: Optional[int] = None) -> bool:
     return on_tpu and (n is None or n >= DEVICE_COMMIT_MIN)
 
 
-def device_commit_paired(codeword_mont: jnp.ndarray):
-    """Commit a device Montgomery codeword (8, n) with paired leaves,
-    entirely on device.  Returns (DeviceRows, DeviceMerkleTree)."""
+@jax.jit
+def _commit_paired_core(codeword_mont: jnp.ndarray):
+    """(..., 8, n) Montgomery -> (canonical (..., 8, n), flat tree
+    (..., 8, n-1... 2*(n/2)-1)) in ONE executable (supports batch axes)."""
     from ..field import ops as F
 
     canon = F.from_mont(codeword_mont)
-    return DeviceRows(canon), DeviceMerkleTree(_paired_leaf_digests(canon))
+    n = canon.shape[-1]
+    w = canon[..., 0::2, :] | (canon[..., 1::2, :] << np.uint32(16))
+    lo, hi = w[..., : n // 2], w[..., n // 2 :]
+    zero = jnp.zeros_like(lo[..., 0, :])
+    m = (
+        [lo[..., k, :] for k in range(4)]
+        + [hi[..., k, :] for k in range(4)]
+        + [zero] * 8
+    )
+    leaves = jnp.stack(_compress_words(m, 32), axis=-2)
+    return canon, _flat_tree_core(leaves)
+
+
+def device_commit_paired(codeword_mont: jnp.ndarray):
+    """Commit a device Montgomery codeword (8, n) with paired leaves,
+    entirely on device: ONE dispatch + one 32-byte root fetch.
+    Returns (DeviceRows, DeviceMerkleTree)."""
+    canon, flat = _commit_paired_core(codeword_mont)
+    return DeviceRows(canon), DeviceMerkleTree(flat=flat)
+
+
+def device_commit_paired_many(codewords_mont: jnp.ndarray):
+    """Commit R stacked codewords (R, 8, n): ONE dispatch builds every
+    canonical array and tree, ONE fetch brings back all R roots.
+    Returns a list of (DeviceRows, DeviceMerkleTree)."""
+    canon, flat = _commit_paired_core(codewords_mont)
+    roots = np.asarray(jax.device_get(flat[..., -1]))       # (R, 8)
+    return [
+        (
+            DeviceRows(canon[r]),
+            DeviceMerkleTree(flat=flat[r], root=_digest_col_bytes(roots[r])),
+        )
+        for r in range(codewords_mont.shape[0])
+    ]
 
 
 def gather_rows(rows, indices) -> List[int]:
     """Canonical ints of ``rows`` at ``indices`` for any accessor kind:
-    DeviceRows (device gather), ShardedRows/numpy (host rows)."""
+    DeviceRows (device gather), ShardedRows/numpy (host rows), or a plain
+    list of ints (host FRI tail layers)."""
     if hasattr(rows, "gather"):
         return rows.gather(indices)
+    if isinstance(rows, list):
+        return [rows[i] for i in indices]
     from ..utils.convert import int_from_row
 
     return [int_from_row(rows[i]) for i in indices]

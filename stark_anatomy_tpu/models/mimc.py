@@ -86,23 +86,32 @@ class MiMC:
 
     # -- device kernels ------------------------------------------------------
     def trace_columns(self, input_value: int) -> jnp.ndarray:
-        """Device trace generator: (1, NLIMBS, num_steps+1) Montgomery
-        columns, suitable for FastStark.prove(trace_columns=...).
+        """Trace generator: (1, NLIMBS, num_steps+1) Montgomery columns,
+        suitable for FastStark.prove(trace_columns=...).
 
-        The chain is sequential by design (a VDF shape), so the only
-        throughput lever is per-iteration overhead: the scan body unrolls
-        CHUNK steps (each two Montgomery multiplies), cutting the scan's
-        fixed per-iteration cost by CHUNK (measured 52 s -> ~4 s at 2^20
-        steps on TPU)."""
+        The chain is sequential by design (a VDF shape) — the TPU's width
+        buys nothing, and a device scan pays per-step dependency latency
+        on (8,1)-lane vectors (~10 us/step; ~10 s at 2^20).  The C++
+        native chain (native/mimc_chain.cpp) runs the same Montgomery
+        arithmetic at ~25 ns/step and the result uploads ONCE, packed
+        (16 B/element); the device scan remains as the fallback when the
+        native library is unavailable."""
         from ..utils.convert import device_from_ints
+
+        native = self._native_columns(input_value)
+        if native is not None:
+            return native
 
         x0 = device_from_ints([input_value])            # (L, 1)
         c = mont_const(self.c.value)
         steps = self.num_steps
-        CHUNK = 16
-        if steps % CHUNK:
-            # keep the single-scan shape for tiny/odd step counts
-            CHUNK = 1
+        # the chain is inherently sequential, so throughput is set by the
+        # scan's per-iteration overhead; a larger unrolled chunk divides
+        # that overhead (64 measured ~2x faster than 16 at 2^20 steps on
+        # TPU; beyond 64 the compiled body stops paying for itself)
+        CHUNK = 64
+        while CHUNK > 1 and steps % CHUNK:
+            CHUNK //= 2
 
         @jax.jit
         def run(x0):
@@ -120,6 +129,35 @@ class MiMC:
             return jnp.moveaxis(chain[..., 0], 0, -1)[None]      # (1, L, steps+1)
 
         return run(x0)
+
+    def _native_columns(self, input_value: int):
+        """C++ chain + one packed upload; None if the library is missing."""
+        from ..field.limbs import R
+        from ..field.scalar import P as _P
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "stark_mimc_chain"):
+            return None
+        import ctypes
+
+        import numpy as np
+
+        steps = self.num_steps
+        x_m = input_value * R % _P
+        c_m = self.c.value * R % _P
+        buf = np.empty((steps + 1) * 16, dtype=np.uint8)
+        mask = (1 << 64) - 1
+        lib.stark_mimc_chain(
+            x_m & mask, x_m >> 64, c_m & mask, c_m >> 64,
+            steps, buf.ctypes.data_as(ctypes.c_void_p),
+        )
+        # little-endian 16-byte values -> packed u32 words (4, n): upload
+        # half the bytes of the sparse limb layout, unpack ON DEVICE
+        words = np.ascontiguousarray(
+            buf.view("<u4").reshape(steps + 1, 4).T
+        )                                                    # (4, n)
+        return _unpack_columns(jnp.asarray(words))
 
     def air_evaluator(self):
         """Pointwise device AIR: one constraint codeword,
@@ -142,6 +180,22 @@ class MiMC:
             return [next_[0] - current[0] ** 3 - c]
 
         return evaluator
+
+    def index_air(self):
+        """Batched device AIR for the verifier (index argument unused:
+        MiMC's constraint has no cycle-dependent constants).  Cached on
+        the instance: the evaluator is a static jit argument of the
+        batched verify core, keyed by identity."""
+        if getattr(self, "_index_air", None) is None:
+            c = mont_const(self.c.value)
+
+            def evaluator(idx, current, next_):
+                cur = current[0]
+                cur3 = F.mont_mul(F.mont_mul(cur, cur), cur)
+                return F.sub(F.sub(next_[0], cur3), c)[None]
+
+            self._index_air = evaluator
+        return self._index_air
 
 
 def make_stark(
@@ -172,8 +226,11 @@ def prove_chain(mimc: MiMC, stark: FastStark, input_element: FieldElement, tz=No
 
     if tz is None:
         tz = stark.preprocess()
-    cols = mimc.trace_columns(input_element.value)
-    output_value = ints_from_device(cols[0, :, -1:])[0]
+    with stark.timer.phase("trace_gen"):
+        cols = mimc.trace_columns(input_element.value)
+        # the output fetch forces the sequential chain to completion, so
+        # the phase records the real trace-generation cost
+        output_value = ints_from_device(cols[0, :, -1:])[0]
     output_element = FieldElement(output_value, mimc.field)
     proof = stark.prove(
         None,
@@ -200,4 +257,15 @@ def verify_chain(
         mimc.boundary_constraints(input_element, output_element),
         tz_root,
         air_point_evaluator=mimc.point_air(),
+        air_index_evaluator=mimc.index_air(),
     )
+
+
+@jax.jit
+def _unpack_columns(words: jnp.ndarray) -> jnp.ndarray:
+    """(4, n) packed u32 -> (1, NLIMBS, n) 16-bit limb rows."""
+    rows = []
+    for k in range(4):
+        rows.append(words[k] & jnp.uint32(0xFFFF))
+        rows.append(words[k] >> jnp.uint32(16))
+    return jnp.stack(rows)[None]

@@ -331,3 +331,49 @@ def make_air_evaluator(stark):
         return _rescue_air_kernel(current, next_, c1_lde, c2_lde, mds, mds_inv)
 
     return evaluator
+
+
+def make_index_air_evaluator(stark):
+    """Device AIR evaluator for the BATCHED VERIFIER
+    (FastStark._verify_combinations_batched): the verifier's query points
+    are FRI-domain positions, so the cached round-constant codewords of
+    :func:`make_air_evaluator` serve the constants by a gather at the
+    query indices instead of per-point Horner evaluation."""
+    import numpy as np
+
+    from ..field.limbs import NLIMBS, R as MONT_R, int_to_limbs
+    from ..ops.ntt import evaluate_domain_horner
+    from ..utils.convert import device_from_ints
+
+    rp = RescuePrime()
+    omicron = stark.omicron
+    domain = [omicron ** r for r in range(rp.N)]
+    x_lde = stark._interp_tables()["x_lde"]
+    c1, c2 = [], []
+    for i in range(rp.m):
+        vals1 = [rp.round_constants[2 * r * rp.m + i] for r in range(rp.N)]
+        vals2 = [rp.round_constants[2 * r * rp.m + rp.m + i] for r in range(rp.N)]
+        p1 = Polynomial.interpolate_domain(domain, vals1)
+        p2 = Polynomial.interpolate_domain(domain, vals2)
+        c1.append(evaluate_domain_horner(
+            device_from_ints([c.value for c in p1.coefficients]), x_lde))
+        c2.append(evaluate_domain_horner(
+            device_from_ints([c.value for c in p2.coefficients]), x_lde))
+    c1_lde = jnp.stack(c1)
+    c2_lde = jnp.stack(c2)
+
+    mds_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
+    mdsi_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
+    for i in range(M):
+        for j in range(M):
+            mds_np[i, j, :, 0] = int_to_limbs(MDS[i][j] * MONT_R % P)
+            mdsi_np[i, j, :, 0] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
+    mds = jnp.asarray(mds_np)
+    mds_inv = jnp.asarray(mdsi_np)
+
+    def evaluator(idx, current, next_):
+        c1_pts = jnp.take(c1_lde, idx, axis=-1)        # (m, L, K)
+        c2_pts = jnp.take(c2_lde, idx, axis=-1)
+        return _rescue_air_kernel(current, next_, c1_pts, c2_pts, mds, mds_inv)
+
+    return evaluator

@@ -81,30 +81,33 @@ class FastRPSSS(RPSSS):
         self.transition_zerofier = self.stark.preprocess()
         self._air_evaluator = None
         self._point_air = None
+        self._batch_prover = None
+
+    def _prover(self):
+        """Fused signing pipeline: the whole pre-commitment computation
+        (trace -> LDE -> quotients -> randomizer) runs as ONE device
+        executable and FRI runs on the host (parallel/batch_prover.py,
+        B=1) — the round-3 single-proof path paid ~8 sequential dispatch
+        latencies plus a per-FRI-round fold/root round trip."""
+        if self._batch_prover is None:
+            from ..parallel.batch_prover import BatchProver
+
+            self._batch_prover = BatchProver(
+                self.stark, self.rp, self.transition_zerofier, air=self._air()
+            )
+        return self._batch_prover
 
     def stark_prove(self, input_element: FieldElement, proof_stream) -> bytes:
-        from .rescue_prime import make_air_evaluator
-
-        if self._air_evaluator is None:
-            # pointwise device AIR (round-constant codewords cached on the
-            # FRI domain) instead of the generic symbolic compilation
-            self._air_evaluator = make_air_evaluator(self.stark)
-        output_element = self.rp.hash(input_element)
-        trace = self.rp.trace(input_element)
-        return self.stark.prove(
-            trace,
-            self._air(),
-            self.rp.boundary_constraints(output_element),
-            self.transition_zerofier,
-            proof_stream,
-            air_evaluator=self._air_evaluator,
-        )
+        return self._prover().prove_batch([input_element], [proof_stream])[0]
 
     def stark_verify(self, output_element, stark_proof, document) -> bool:
-        from .rescue_prime import make_point_air
+        from .rescue_prime import make_index_air_evaluator, make_point_air
 
         if self._point_air is None:
             self._point_air = make_point_air(self.stark)
+            # batched device verifier core (FastStark ask: no per-index
+            # Python field ops in the hot verify loop)
+            self._index_air = make_index_air_evaluator(self.stark)
         boundary = self.rp.boundary_constraints(output_element)
         return self.stark.verify(
             stark_proof,
@@ -115,4 +118,5 @@ class FastRPSSS(RPSSS):
                 proof, document
             ),
             air_point_evaluator=self._point_air,
+            air_index_evaluator=self._index_air,
         )

@@ -68,6 +68,11 @@ def get_lib():
         lib.stark_leaves_from_limb_pairs_s.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
         ]
+        if hasattr(lib, "stark_mimc_chain"):  # absent only in stale builds
+            lib.stark_mimc_chain.argtypes = [
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+            ]
         _lib = lib
     except OSError:
         return None

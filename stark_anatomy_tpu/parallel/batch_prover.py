@@ -43,19 +43,27 @@ class BatchProver:
     and proofs stay byte-compatible with the unsharded prover.
     """
 
+    # below B*N total codeword elements, FRI runs entirely on the host
+    # (see prove_batch) — B=1 signing at the RPSSS domain (N=4096) is the
+    # main beneficiary
+    HOST_FRI_MAX = 1 << 14
+
     def __init__(
         self,
         stark: FastStark,
         rp,
         transition_zerofier: TransitionZerofier,
         mesh=None,
+        air=None,
     ):
         self.stark = stark
         self.rp = rp
         self.tz = transition_zerofier
         self.mesh = mesh
         self.field = Field.main()
-        self.air = rp.transition_constraints(stark.omicron)
+        # the symbolic AIR expansion (rhs**3, thousands of monomials) is
+        # expensive — callers that already built it pass it in
+        self.air = air if air is not None else rp.transition_constraints(stark.omicron)
         self._phase1 = jax.jit(self._phase1_impl)
         self._phase2 = jax.jit(self._phase2_impl)
         from ..models.rescue_prime import make_air_evaluator
@@ -65,9 +73,13 @@ class BatchProver:
         stark._interp_tables()
 
     # ------------------------------------------------------------------
-    def _phase1_impl(self, sk_batch, randomizer_cols, rand_poly):
-        """sk (L, B); randomizers (B, R, L, nrand); rand_poly (B, L, D+1).
-        Returns (trace_lde, next_lde, bq-less pieces)."""
+    def _phase1_impl(self, sk_batch, randomizer_cols, rand_poly, inv_bz, interp):
+        """sk (L, B); randomizers (B, R, L, nrand); rand_poly (B, L, D+1);
+        inv_bz/interp (B, R, L, N) boundary tables.  Runs the ENTIRE
+        pre-commitment pipeline (trace -> LDE -> AIR quotients -> boundary
+        quotients -> randomizer LDE) as one executable — the boundary
+        tables depend only on the public outputs, so nothing before the
+        Fiat-Shamir weights needs a host round trip."""
         stark = self.stark
         t = stark._interp_tables()
         traces = RP.trace_batch(sk_batch)                  # (n_cyc, m, L, B)
@@ -79,7 +91,8 @@ class BatchProver:
         tq_lde = F.mont_mul(constraint, self.tz.inv_codeword)
         rand_lde = NTT.coset_evaluate(rand_poly, stark.generator.value,
                                       stark.fri_domain_length)
-        return trace_lde, tq_lde, rand_lde
+        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)
+        return bq_lde, tq_lde, rand_lde
 
     def _phase2_impl(self, bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift):
         """weights: (B, W, L, 1).  Returns combination codeword (B, L, N).
@@ -145,8 +158,6 @@ class BatchProver:
             (1, 0, 2),
         )
 
-        trace_lde, tq_lde, rand_lde = self._phase1(sk_dev, rand_rows, rand_poly)
-
         # boundary tables are identical in STRUCTURE but differ per proof
         # (the output value differs): build per-proof, stack
         inv_bz_list, interp_list = [], []
@@ -156,64 +167,87 @@ class BatchProver:
             interp_list.append(interp)
         inv_bz = jnp.stack(inv_bz_list)                   # (B, R, L, N)
         interp = jnp.stack(interp_list)
-        bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)
 
-        from ..utils.convert import canonical_np
+        timer = stark.timer
+        with timer.phase("pipeline"):
+            bq_lde, tq_lde, rand_lde = self._phase1(
+                sk_dev, rand_rows, rand_poly, inv_bz, interp
+            )
 
-        bq_np = canonical_np(bq_lde)                       # (B, R, N, L)
-        rand_np = canonical_np(rand_lde)                   # (B, N, L)
+            from ..utils.convert import canonical_np
+
+            # these fetches force the phase-1 executable to completion
+            bq_np = canonical_np(bq_lde)                   # (B, R, N, L)
+            rand_np = canonical_np(rand_lde)               # (B, N, L)
 
         # per-proof commitments + Fiat-Shamir weights
-        bq_trees = [
-            [MerkleTree.from_limbs_paired(bq_np[i][s]) for s in range(R)]
-            for i in range(B)
-        ]
-        rand_trees = [MerkleTree.from_limbs_paired(rand_np[i]) for i in range(B)]
-        weight_cols = []
-        n_weights = 1 + 2 * len(self.air) + 2 * R
-        for i in range(B):
-            ps = proof_streams[i]
-            for s in range(R):
-                ps.push(bq_trees[i][s].root)
-            ps.push(rand_trees[i].root)
-            ws = stark.sample_weights(n_weights, ps.prover_fiat_shamir())
-            weight_cols.append(jnp.stack([mont_const(w.value) for w in ws]))
-        weights = jnp.stack(weight_cols)                   # (B, W, L, 1)
+        with timer.phase("commit"):
+            bq_trees = [
+                [MerkleTree.from_limbs_paired(bq_np[i][s]) for s in range(R)]
+                for i in range(B)
+            ]
+            rand_trees = [MerkleTree.from_limbs_paired(rand_np[i]) for i in range(B)]
+            weight_cols = []
+            n_weights = 1 + 2 * len(self.air) + 2 * R
+            for i in range(B):
+                ps = proof_streams[i]
+                for s in range(R):
+                    ps.push(bq_trees[i][s].root)
+                ps.push(rand_trees[i].root)
+                ws = stark.sample_weights(n_weights, ps.prover_fiat_shamir())
+                weight_cols.append(jnp.stack([mont_const(w.value) for w in ws]))
+            weights = jnp.stack(weight_cols)               # (B, W, L, 1)
 
-        tq_bounds = stark.transition_quotient_degree_bounds(self.air)
-        bq_bounds = stark.boundary_quotient_degree_bounds(
-            stark.randomized_trace_length, boundaries[0]
-        )
-        # closed-form x^shift codewords (one gather each) — mont_pow here
-        # was ~2*bits(e) full-array multiplies per shift (round-2 verdict)
-        tq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in tq_bounds])
-        bq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in bq_bounds])
+        with timer.phase("combination"):
+            tq_bounds = stark.transition_quotient_degree_bounds(self.air)
+            bq_bounds = stark.boundary_quotient_degree_bounds(
+                stark.randomized_trace_length, boundaries[0]
+            )
+            # closed-form x^shift codewords (one gather each) — mont_pow
+            # here was ~2*bits(e) full-array multiplies per shift
+            tq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in tq_bounds])
+            bq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in bq_bounds])
+            combos = self._phase2(bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift)
 
-        combos = self._phase2(bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift)
-
-        # batched FRI commit: folds run as (B, L, n) tensors with per-proof
-        # alphas; Merkle/Fiat-Shamir per proof on host
-        layers_np, trees, indices_per_proof = self._fri_batch(combos, proof_streams)
+        with timer.phase("fri"):
+            if B * N <= self.HOST_FRI_MAX:
+                # small workloads: ONE transfer of the combination
+                # codewords, then the whole FRI (folds, trees, queries) on
+                # the host — the device path pays a fold dispatch + root
+                # fetch per round (~25 ms each of tunnel latency;
+                # protocols/fri.py:prove_host)
+                combo_np = canonical_np(combos)            # (B, N, L)
+                indices_per_proof = []
+                for i in range(B):
+                    ints = [int_from_row(combo_np[i][j]) for j in range(N)]
+                    indices_per_proof.append(
+                        stark.fri.prove_host(ints, proof_streams[i])
+                    )
+            else:
+                # batched FRI commit: folds run as (B, L, n) tensors with
+                # per-proof alphas; Merkle/Fiat-Shamir per proof on host
+                _, _, indices_per_proof = self._fri_batch(combos, proof_streams)
 
         # linked openings per proof (paired leaves: multiproof over the
         # reduced index set, values at the full quadrupled set)
         proofs = []
-        for i in range(B):
-            ps = proof_streams[i]
-            indices = indices_per_proof[i]
-            duplicated = indices + [
-                (idx + stark.expansion_factor) % N for idx in indices
-            ]
-            quadrupled = sorted(duplicated + [(idx + N // 2) % N for idx in duplicated])
-            leaf_indices = sorted({idx % (N // 2) for idx in duplicated})
-            for s in range(R):
-                ps.push([int_from_row(bq_np[i][s][j]) for j in quadrupled])
-                ps.push(open_multi(bq_trees[i][s], leaf_indices))
-            ps.push([int_from_row(rand_np[i][j]) for j in quadrupled])
-            ps.push(open_multi(rand_trees[i], leaf_indices))
-            ps.push(gather_rows(self.tz.rows, quadrupled))
-            ps.push(open_multi(self.tz.tree, leaf_indices))
-            proofs.append(ps.serialize())
+        with timer.phase("openings"):
+            for i in range(B):
+                ps = proof_streams[i]
+                indices = indices_per_proof[i]
+                duplicated = indices + [
+                    (idx + stark.expansion_factor) % N for idx in indices
+                ]
+                quadrupled = sorted(duplicated + [(idx + N // 2) % N for idx in duplicated])
+                leaf_indices = sorted({idx % (N // 2) for idx in duplicated})
+                for s in range(R):
+                    ps.push([int_from_row(bq_np[i][s][j]) for j in quadrupled])
+                    ps.push(open_multi(bq_trees[i][s], leaf_indices))
+                ps.push([int_from_row(rand_np[i][j]) for j in quadrupled])
+                ps.push(open_multi(rand_trees[i], leaf_indices))
+                ps.push(gather_rows(self.tz.rows, quadrupled))
+                ps.push(open_multi(self.tz.tree, leaf_indices))
+                proofs.append(ps.serialize())
         return proofs
 
     # ------------------------------------------------------------------

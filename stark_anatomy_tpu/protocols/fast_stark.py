@@ -26,6 +26,7 @@ instead of translating the reference's coefficient-space algorithms:
 
 from __future__ import annotations
 
+import functools
 import os
 from functools import reduce
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -260,11 +261,15 @@ class FastStark(StarkParams):
         are canonicalized in ONE device call + transfer (each separate
         call pays ~25 ms of tunnel dispatch latency — measurable at small
         domains where the data itself is tiny)."""
-        from ..commit.device_merkle import use_device_commit
+        from ..commit.device_merkle import (
+            device_commit_paired_many,
+            use_device_commit,
+        )
 
         R = codewords.shape[0]
         if use_device_commit(codewords.shape[-1]):
-            return [self._commit_rows(codewords[s]) for s in range(R)]
+            # ONE dispatch for all R trees + ONE root fetch
+            return device_commit_paired_many(codewords)
         from ..utils.convert import canonical_np
 
         canon = canonical_np(codewords)                   # (R, N, L)
@@ -398,12 +403,20 @@ class FastStark(StarkParams):
 
         import jax as _jax
 
+        def _sync(arr):
+            """Force completion: block_until_ready does not synchronize
+            through the axon tunnel; a data-dependent host read does.
+            Costs one small fetch (~25 ms) per phase boundary — the price
+            of a phase table that sums to wall clock."""
+            leaf = _jax.tree_util.tree_leaves(arr)[0]
+            np.asarray(_jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
         # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
         # so trace(omicron * x) is a roll of the codeword)
         with self.timer.phase("trace_lde"):
             trace_lde = self._trace_lde(columns)                 # (R, L, N)
             next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-1)
-            _jax.block_until_ready(trace_lde)
+            _sync(trace_lde)
 
         # boundary quotients, committed
         from ..utils.convert import int_from_row
@@ -411,7 +424,7 @@ class FastStark(StarkParams):
         with self.timer.phase("boundary_quotients"):
             inv_bz, interp = self._boundary_tables(boundary)
             bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)  # (R, L, N)
-            _jax.block_until_ready(bq_lde)
+            _sync(bq_lde)
         with self.timer.phase("commit_bq"):
             bq_trees: List[MerkleTree] = []
             bq_rows = []                                      # opening sources
@@ -430,7 +443,7 @@ class FastStark(StarkParams):
             # trace LDEs and raw constraint codewords as soon as the
             # quotients exist (nothing downstream reads them)
             del constraint_lde, trace_lde, next_lde
-            _jax.block_until_ready(tq_lde)
+            _sync(tq_lde)
 
         # randomizer polynomial
         max_degree = self.max_degree(transition_constraints)
@@ -448,7 +461,7 @@ class FastStark(StarkParams):
                 ]
                 rand_poly_dev = device_from_ints(rand_coeffs)
             rand_lde = self._lde(rand_poly_dev, self.generator.value, N)
-            _jax.block_until_ready(rand_lde)
+            _sync(rand_lde)
         with self.timer.phase("commit_randomizer"):
             rand_rows, rand_tree = self._commit_rows(rand_lde)
             proof_stream.push(rand_tree.root)
@@ -483,7 +496,7 @@ class FastStark(StarkParams):
                 rand_lde, tq_lde, bq_lde, tq_shift, bq_shift, w_dev
             )
             del tq_shift, bq_shift
-            _jax.block_until_ready(combo)
+            _sync(combo)
         del tq_lde, bq_lde, rand_lde, rand_poly_dev
 
         # FRI proof over the combination codeword
@@ -530,6 +543,7 @@ class FastStark(StarkParams):
         transition_zerofier_root: bytes,
         proof_stream_factory=None,
         air_point_evaluator=None,
+        air_index_evaluator=None,
     ) -> bool:
         """Verify a proof.  ``air_point_evaluator``, if given, is a scalar
         function (x, current_trace, next_trace) -> constraint values used
@@ -608,6 +622,20 @@ class FastStark(StarkParams):
         )
         max_degree = self.max_degree(transition_constraints)
 
+        if air_index_evaluator is not None:
+            bad = self._verify_combinations_batched(
+                indices, values, leafs, randomizer, zerofier_leafs, weights,
+                zerofiers, interpolants, tq_bounds, bq_bounds, max_degree,
+                air_index_evaluator,
+            )
+            if bad is not None:
+                raise VerificationError(
+                    f"combination mismatch at query index {bad}"
+                )
+            if proof_stream.read_index != len(proof_stream.objects):
+                raise MalformedProof("trailing transcript objects")
+            return True
+
         for i in range(len(indices)):
             current_index = indices[i]
             domain_current = self.generator * (self.omega ** current_index)
@@ -667,6 +695,109 @@ class FastStark(StarkParams):
             raise MalformedProof("trailing transcript objects")
 
         return True
+
+    # ------------------------------------------------------------------
+    # batched verifier core: all K query checks through the device
+    # kernels (one upload, one executable, one fetch) instead of K
+    # iterations of host scalar field arithmetic — the reference's hot
+    # verify loop (fast_stark.py:244-284) does R boundary-polynomial
+    # evaluations + the AIR + ~W combination terms per index in Python.
+    # ------------------------------------------------------------------
+    def _verify_combinations_batched(
+        self, indices, claimed, leafs, randomizer, zerofier_leafs, weights,
+        zerofiers, interpolants, tq_bounds, bq_bounds, max_degree,
+        air_index_evaluator,
+    ) -> Optional[int]:
+        """Returns the first mismatching query index, or None if all K
+        combination values check out."""
+        R = self.num_registers
+        N = self.fri.domain_length
+        K = len(indices)
+        next_indices = [(i + self.expansion_factor) % N for i in indices]
+
+        # ONE upload: every opened value + the query points, concatenated
+        flat: List[int] = []
+        for s in range(R):
+            flat.extend(leafs[s][i] for i in indices)
+            flat.extend(leafs[s][i] for i in next_indices)
+        flat.extend(randomizer[i] for i in indices)
+        flat.extend(zerofier_leafs[i] for i in indices)
+        g, w = self.generator.value, self.omega.value
+        flat.extend(g * pow(w, i, P) % P for i in indices)
+        flat.extend(g * pow(w, i, P) % P for i in next_indices)
+        vals = device_from_ints(flat)                       # (L, (2R+4)K)
+
+        def poly_coeffs(polys):
+            deg = max(max(len(p.coefficients) for p in polys), 1)
+            return jnp.stack(
+                [
+                    NTT._pad_coeffs(
+                        device_from_ints(
+                            [c.value for c in p.coefficients] or [0]
+                        ),
+                        deg,
+                    )
+                    for p in polys
+                ]
+            )                                               # (R, L, deg)
+
+        bz = poly_coeffs(zerofiers)
+        ip = poly_coeffs(interpolants)
+        w_dev = jnp.stack([mont_const(wv.value) for wv in weights])
+        tq_sh = tuple(max_degree - b for b in tq_bounds)
+        bq_sh = tuple(max_degree - b for b in bq_bounds)
+        idx_dev = jnp.asarray(np.asarray(indices, dtype=np.uint32))
+
+        combo = _verify_core(
+            vals, bz, ip, w_dev, idx_dev, air_index_evaluator,
+            R, K, tq_sh, bq_sh,
+        )
+        got = ints_from_device(combo)
+        for i in range(K):
+            if got[i] != claimed[i]:
+                return indices[i]
+        return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("air_index_evaluator", "R", "K", "tq_sh", "bq_sh")
+)
+def _verify_core(vals, bz, ip, weights, idx, air_index_evaluator, R, K, tq_sh, bq_sh):
+    """Batched combination recomputation at K query points.
+
+    vals: (L, (2R+4)K) Montgomery — per register K current + K next
+    boundary-quotient openings, then K randomizer, K zerofier openings,
+    K current points, K next points.
+    """
+    parts = [vals[..., i * K : (i + 1) * K] for i in range(2 * R + 4)]
+    bq_cur = jnp.stack(parts[0:2 * R:2])                   # (R, L, K)
+    bq_next = jnp.stack(parts[1:2 * R:2])
+    rand_cur = parts[2 * R]
+    tz_cur = parts[2 * R + 1]
+    x_cur = parts[2 * R + 2]
+    x_next = parts[2 * R + 3]
+
+    def poly_eval(coeffs, points):
+        # coeffs (R, L, D), points (L, K) -> (R, L, K)
+        return NTT.evaluate_domain_horner(
+            coeffs, jnp.broadcast_to(points, (coeffs.shape[0],) + points.shape)
+        )
+
+    cur_trace = F.add(F.mont_mul(bq_cur, poly_eval(bz, x_cur)), poly_eval(ip, x_cur))
+    next_trace = F.add(
+        F.mont_mul(bq_next, poly_eval(bz, x_next)), poly_eval(ip, x_next)
+    )
+    constraints = air_index_evaluator(idx, cur_trace, next_trace)  # (C, L, K)
+    tq = F.mont_mul(constraints, F.batch_inv(tz_cur))
+
+    terms = [rand_cur]
+    for s, e in enumerate(tq_sh):
+        terms.append(tq[s])
+        terms.append(F.mont_mul(tq[s], F.mont_pow(x_cur, e)))
+    for s, e in enumerate(bq_sh):
+        terms.append(bq_cur[s])
+        terms.append(F.mont_mul(bq_cur[s], F.mont_pow(x_cur, e)))
+    return F.weighted_sum(jnp.stack(terms), weights[:, None] if weights.ndim == 2 else weights)
 
 
 @jax.jit

@@ -65,6 +65,21 @@ def _square_half(u):
     return F.mont_mul(u[..., :half], u[..., :half])
 
 
+@jax.jit
+def _fold_commit_kernel(codeword, u, alpha, two_inv):
+    """Fold + commit the FOLDED codeword in ONE executable: returns
+    (folded, squared-half u, canonical folded, flat Merkle levels).
+    Each separate call through the device tunnel costs ~25 ms of
+    dispatch latency; one fused call per FRI round + one root fetch is
+    the round's entire device traffic."""
+    from ..commit.device_merkle import _commit_paired_core
+
+    folded = _fold_kernel(codeword, u, alpha, two_inv)
+    canon, flat = _commit_paired_core(folded)
+    half = u.shape[-1] // 2
+    return folded, F.mont_mul(u[..., :half], u[..., :half]), canon, flat
+
+
 class Fri:
     """FRI over the coset offset*<omega> of size ``initial_domain_length``."""
 
@@ -159,16 +174,24 @@ class Fri:
             self._u0 = F.mont_mul(tab, mont_const(offset_inv))
         return self._u0
 
+    # once a folded codeword drops below this many elements the prover
+    # leaves the device: remaining folds/trees/queries are host work on
+    # ints (tens of ms total), while every further device round would pay
+    # a dispatch + root fetch (~50 ms) and two query gathers
+    HOST_TAIL_MAX = 1 << 14
+
     # -- prover --------------------------------------------------------------
     def commit(self, codeword: jnp.ndarray, proof_stream: ProofStream):
-        """Fold rounds; returns (canonical numpy codeword layers, MerkleTrees).
+        """Fold rounds; returns (layers, MerkleTrees) where each layer is a
+        canonical row accessor (DeviceRows / numpy / ShardedRows) or a host
+        int list for the small tail rounds.
 
         Mirrors the reference's commit loop (fri.py:56-96): per round, commit
         the current codeword, draw the challenge, fold.  The last layer is
-        committed AND sent in the clear.  Codewords never become Python
-        big-ints in bulk: trees are built straight from the canonical limb
-        arrays (native decimal-encode + hash), and only queried leaves are
-        converted.
+        committed AND sent in the clear.  On the device path, each round's
+        fold + leaf hashing + every tree level run as ONE executable
+        (_fold_commit_kernel) and only the 32-byte root crosses to the
+        host; small tail rounds run entirely host-side.
 
         Commitments use PAIRED leaves — leaf i covers (c[i], c[i+n/2]), the
         fold pairing — so one opening authenticates a whole colinearity pair
@@ -176,26 +199,91 @@ class Fri:
         (the reference reveals c separately AND re-reveals it as the next
         round's a/b, fri.py:98-113).
         """
+        from ..commit.device_merkle import (
+            DeviceMerkleTree,
+            DeviceRows,
+            gather_rows,
+            use_device_commit,
+        )
+
         two_inv = mont_const(_TWO_INV)
         u = self._initial_u()
-        layers = []  # canonical row accessors ((n, NLIMBS) numpy or ShardedRows)
+        layers = []
         trees: List[MerkleTree] = []
-        for r in range(self.num_rounds()):
-            rows, tree = self.commit_codeword(codeword)
+        num = self.num_rounds()
+        fused = (
+            self.commit_codeword == self._commit_codeword_local
+            and use_device_commit(self.domain_length)
+        )
+        host_ints: Optional[List[int]] = None   # set once on the host tail
+        host_u: Optional[List[int]] = None
+        omega_r, offset_r = self.omega, self.offset
+
+        rows, tree = self.commit_codeword(codeword)
+        for r in range(num):
             proof_stream.push(tree.root)
             layers.append(rows)
             trees.append(tree)
-            if r == self.num_rounds() - 1:
+            if r == num - 1:
                 break
             alpha = self.field.sample(proof_stream.prover_fiat_shamir()).value
-            codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
-            u = _square_half(u)
+            half = self.domain_length >> (r + 1)
+
+            if host_ints is None and (not fused or half > self.HOST_TAIL_MAX):
+                if fused:
+                    codeword, u, canon, flat = _fold_commit_kernel(
+                        codeword, u, mont_const(alpha), two_inv
+                    )
+                    rows, tree = DeviceRows(canon), DeviceMerkleTree(flat=flat)
+                else:
+                    codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
+                    u = _square_half(u)
+                    rows, tree = self.commit_codeword(codeword)
+            else:
+                if host_ints is None:
+                    # leave the device: fetch the CURRENT layer once and
+                    # finish on the host
+                    host_ints = gather_rows(rows, range(2 * half))
+                    host_u = self._tail_u(offset_r, omega_r, half)
+                host_ints = [
+                    _TWO_INV
+                    * (
+                        (1 + alpha * host_u[i]) * host_ints[i]
+                        + (1 - alpha * host_u[i]) * host_ints[half + i]
+                    )
+                    % P
+                    for i in range(half)
+                ]
+                host_u = [v * v % P for v in host_u[: half // 2]]
+                rows, tree = host_ints, self._host_tree(host_ints)
+            omega_r = omega_r * omega_r % P
+            offset_r = offset_r * offset_r % P
+
         # send last codeword in the clear (reference: fri.py:92)
-        from ..commit.device_merkle import gather_rows
+        from ..commit.device_merkle import gather_rows as _gr
 
         last = layers[-1]
-        proof_stream.push(gather_rows(last, range(last.shape[0])))
+        if isinstance(last, list):
+            proof_stream.push(list(last))
+        else:
+            proof_stream.push(_gr(last, range(last.shape[0])))
         return layers, trees
+
+    @staticmethod
+    def _tail_u(offset_r: int, omega_r: int, half: int) -> List[int]:
+        """Host inverse-domain table for round r: ((offset_r)(omega_r)^i)^-1,
+        i < half — matches _initial_u squared r times."""
+        omega_inv = pow(omega_r, P - 2, P)
+        u = pow(offset_r, P - 2, P)
+        out = []
+        for _ in range(half):
+            out.append(u)
+            u = u * omega_inv % P
+        return out
+
+    @staticmethod
+    def _layer_len(layer) -> int:
+        return len(layer) if isinstance(layer, list) else layer.shape[0]
 
     def query(
         self,
@@ -208,7 +296,7 @@ class Fri:
         at i = c_indices[s], plus ONE multiproof for the whole index set."""
         from ..commit.device_merkle import gather_rows
 
-        half = current_layer.shape[0] // 2
+        half = self._layer_len(current_layer) // 2
         idx = [c_indices[s] for s in range(self.num_colinearity_tests)]
         vals = gather_rows(
             current_layer, idx + [i + half for i in idx]
@@ -217,6 +305,85 @@ class Fri:
             proof_stream.push((vals[s], vals[s + len(idx)]))
         proof_stream.push(open_multi(current_tree, c_indices))
         return c_indices
+
+    # -- host prover (small codewords) ---------------------------------------
+    # Below a few thousand elements the transform/fold arithmetic is
+    # trivial, and the device path's cost is pure tunnel latency: each
+    # round pays a fold dispatch plus a root fetch (~25 ms each through
+    # the axon tunnel).  Proving entirely on the host — big-int folds,
+    # C++ tree hashing — costs ~10-20 ms TOTAL and zero round trips.
+    # Byte-identical transcripts to the device path (test_fri.py).
+
+    def _host_u(self) -> List[int]:
+        if getattr(self, "_host_u0", None) is None:
+            half = self.domain_length // 2
+            omega_inv = pow(self.omega, P - 2, P)
+            offset_inv = pow(self.offset, P - 2, P)
+            u, us = offset_inv, []
+            for _ in range(half):
+                us.append(u)
+                u = u * omega_inv % P
+            self._host_u0 = us
+        return self._host_u0
+
+    @staticmethod
+    def _host_tree(codeword: List[int]) -> MerkleTree:
+        from ..commit.hashing import elt_bytes
+
+        half = len(codeword) // 2
+        return MerkleTree(
+            [
+                elt_bytes(codeword[i]) + elt_bytes(codeword[i + half])
+                for i in range(half)
+            ]
+        )
+
+    def prove_host(
+        self, codeword: List[int], proof_stream: ProofStream
+    ) -> List[int]:
+        """Host-resident mirror of :meth:`prove` over canonical ints;
+        byte-identical transcript output."""
+        assert self.domain_length == len(codeword)
+        two_inv = _TWO_INV
+        u = self._host_u()
+        layers: List[List[int]] = []
+        trees: List[MerkleTree] = []
+        for r in range(self.num_rounds()):
+            tree = self._host_tree(codeword)
+            proof_stream.push(tree.root)
+            layers.append(codeword)
+            trees.append(tree)
+            if r == self.num_rounds() - 1:
+                break
+            alpha = self.field.sample(proof_stream.prover_fiat_shamir()).value
+            half = len(codeword) // 2
+            codeword = [
+                two_inv
+                * (
+                    (1 + alpha * u[i]) * codeword[i]
+                    + (1 - alpha * u[i]) * codeword[half + i]
+                )
+                % P
+                for i in range(half)
+            ]
+            u = [v * v % P for v in u[: half // 2]]
+        proof_stream.push(list(layers[-1]))
+
+        top_level_indices = self.sample_indices(
+            proof_stream.prover_fiat_shamir(),
+            len(layers[0]) // 2,
+            len(layers[-1]),
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+        for i in range(len(layers) - 1):
+            half = len(layers[i]) // 2
+            indices = [idx % half for idx in indices]
+            layer = layers[i]
+            for s in range(self.num_colinearity_tests):
+                proof_stream.push((layer[indices[s]], layer[indices[s] + half]))
+            proof_stream.push(open_multi(trees[i], indices))
+        return top_level_indices
 
     def prove(self, codeword: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
         """codeword: device Montgomery limb array of shape (NLIMBS, N)."""
@@ -227,13 +394,13 @@ class Fri:
 
         top_level_indices = self.sample_indices(
             proof_stream.prover_fiat_shamir(),
-            layers[0].shape[0] // 2,
-            layers[-1].shape[0],
+            self._layer_len(layers[0]) // 2,
+            self._layer_len(layers[-1]),
             self.num_colinearity_tests,
         )
         indices = list(top_level_indices)
         for i in range(len(layers) - 1):
-            indices = [idx % (layers[i].shape[0] // 2) for idx in indices]
+            indices = [idx % (self._layer_len(layers[i]) // 2) for idx in indices]
             self.query(layers[i], trees[i], indices, proof_stream)
         return top_level_indices
 

@@ -79,3 +79,26 @@ def test_sample_indices_distinct_and_deterministic():
     reduced = [i % 64 for i in idx1]
     assert len(set(reduced)) == len(reduced)
     assert all(0 <= i < 128 for i in idx1)
+
+
+def test_fri_host_prover_byte_identical():
+    """prove_host (the fused signing path's FRI) must emit a transcript
+    byte-identical to the device prover's for the same codeword."""
+    n, expansion, tests = 256, 4, 17
+    fri = make_fri(n, expansion, tests)
+    coeffs = [RNG.randrange(P) for _ in range(n // expansion)]
+    codeword = D.coset_evaluate(device_from_ints(coeffs), fri.offset, n)
+
+    ps_dev = ProofStream()
+    idx_dev = fri.prove(codeword, ps_dev)
+
+    from stark_anatomy_tpu.utils.convert import ints_from_device
+
+    ps_host = ProofStream()
+    idx_host = fri.prove_host(ints_from_device(codeword), ps_host)
+
+    assert idx_dev == idx_host
+    assert ps_dev.serialize() == ps_host.serialize()
+
+    vs = ProofStream.deserialize(ps_host.serialize())
+    assert fri.verify(vs, [])
