@@ -158,20 +158,50 @@ def _node_level(digests: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(_compress_words(m, 64))
 
 
+def _parent_level(d: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8, w) digest words -> (..., 8, w/2) parents."""
+    left, right = d[..., 0::2], d[..., 1::2]
+    m = [left[..., k, :] for k in range(8)] + [right[..., k, :] for k in range(8)]
+    return jnp.stack(_compress_words(m, 64), axis=-2)
+
+
+# levels unrolled in the traced graph before switching to the padded scan
+_TREE_UNROLL = 2
+
+
 def _flat_tree_core(leaf_digests: jnp.ndarray) -> jnp.ndarray:
     """All tree levels, leaf level first, concatenated: (..., 8, 2n-1).
 
     Traced once per leaf count; running every level inside ONE executable
     matters because each separate level call pays ~25 ms of tunnel
     dispatch latency — ~0.5 s per commitment at 2^22 leaves (round-3
-    'fixed dispatch cost', now gone).  Supports leading batch axes.
+    'fixed dispatch cost').  The top _TREE_UNROLL levels (the bulk of
+    the work) are unrolled; the remaining ~20 small levels run as a
+    lax.scan over a FIXED-width buffer — an unrolled compression per
+    level made every tree/FRI-round graph ~26K traced ops, which put
+    minutes of per-process tracing + compilation into time-to-first-proof
+    (round-4 ask 4).  The scan wastes compute on pad lanes past each
+    level's true width (~n/4 extra compressions total, ~10 ms at 2^23).
+    Supports leading batch axes.  Bit-exact with the host tree
+    (tests/test_device_merkle.py).
     """
     levels = [leaf_digests]
-    while levels[-1].shape[-1] > 1:
-        d = levels[-1]
-        left, right = d[..., 0::2], d[..., 1::2]
-        m = [left[..., k, :] for k in range(8)] + [right[..., k, :] for k in range(8)]
-        levels.append(jnp.stack(_compress_words(m, 64), axis=-2))
+    for _ in range(_TREE_UNROLL):
+        if levels[-1].shape[-1] > 1:
+            levels.append(_parent_level(levels[-1]))
+    w = levels[-1].shape[-1]
+    if w > 1:
+        iters = w.bit_length() - 1
+
+        def body(state, _):
+            parents = _parent_level(state)          # (..., 8, w/2)
+            # keep the buffer width fixed: parents occupy the FIRST half,
+            # the second half is pad the next iteration never reads
+            return jnp.concatenate([parents, parents], axis=-1), parents
+
+        _, ys = jax.lax.scan(body, levels[-1], None, length=iters)
+        for j in range(iters):
+            levels.append(ys[j][..., : w >> (j + 1)])
     return jnp.concatenate(levels, axis=-1) if len(levels) > 1 else levels[0]
 
 

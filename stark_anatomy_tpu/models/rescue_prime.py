@@ -281,13 +281,18 @@ def make_point_air(stark):
     return evaluator
 
 
-def make_air_evaluator(stark):
-    """Build a device AIR evaluator bound to a (Fast)Stark instance.
+_RESCUE_TABLES = {}
 
-    Caches the round-constant interpolant codewords C1_i(x), C2_i(x) on the
-    FRI domain (proof-independent), so each proof pays only the ~20-multiply
-    kernel above.  Pass as ``air_evaluator=`` to FastStark.prove.
-    """
+
+def rescue_air_tables(stark):
+    """(c1_lde, c2_lde, mds, mds_inv) round-constant tables for a Stark
+    instance, built ONCE and shared by the prover evaluator, the batched
+    verifier evaluator, and the batch prover (round 4: three separate
+    builders each spent ~13 s re-deriving them — one batched Horner call
+    replaces 32 sequential small dispatches)."""
+    key = id(stark)
+    if key in _RESCUE_TABLES:
+        return _RESCUE_TABLES[key]
     import numpy as np
 
     from ..field.limbs import NLIMBS, R as MONT_R, int_to_limbs
@@ -299,24 +304,24 @@ def make_air_evaluator(stark):
     domain = [omicron ** r for r in range(rp.N)]
     x_lde = stark._interp_tables()["x_lde"]
 
-    c1, c2 = [], []
-    for i in range(rp.m):
-        vals1 = [rp.round_constants[2 * r * rp.m + i] for r in range(rp.N)]
-        vals2 = [rp.round_constants[2 * r * rp.m + rp.m + i] for r in range(rp.N)]
-        p1 = Polynomial.interpolate_domain(domain, vals1)
-        p2 = Polynomial.interpolate_domain(domain, vals2)
-        c1.append(
-            evaluate_domain_horner(
-                device_from_ints([c.value for c in p1.coefficients]), x_lde
-            )
-        )
-        c2.append(
-            evaluate_domain_horner(
-                device_from_ints([c.value for c in p2.coefficients]), x_lde
-            )
-        )
-    c1_lde = jnp.stack(c1)
-    c2_lde = jnp.stack(c2)
+    # interpolate all 2m round-constant polynomials on the host, then
+    # evaluate them on the FRI domain with ONE batched Horner call
+    coeff_ints = []
+    for half in (0, rp.m):
+        for i in range(rp.m):
+            vals = [rp.round_constants[2 * r * rp.m + half + i] for r in range(rp.N)]
+            poly = Polynomial.interpolate_domain(domain, vals)
+            cs = [c.value for c in poly.coefficients]
+            cs += [0] * (rp.N - len(cs))
+            coeff_ints.extend(cs)
+    coeffs = device_from_ints(coeff_ints)                  # (L, 2m*N_ROUNDS)
+    coeffs = jnp.moveaxis(
+        coeffs.reshape(NLIMBS, 2 * rp.m, rp.N), 1, 0
+    )                                                       # (2m, L, N_ROUNDS)
+    both = evaluate_domain_horner(
+        coeffs, jnp.broadcast_to(x_lde, (2 * rp.m,) + x_lde.shape)
+    )                                                       # (2m, L, N_fri)
+    c1_lde, c2_lde = both[: rp.m], both[rp.m :]
 
     mds_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
     mdsi_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
@@ -324,8 +329,19 @@ def make_air_evaluator(stark):
         for j in range(M):
             mds_np[i, j, :, 0] = int_to_limbs(MDS[i][j] * MONT_R % P)
             mdsi_np[i, j, :, 0] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
-    mds = jnp.asarray(mds_np)
-    mds_inv = jnp.asarray(mdsi_np)
+    out = (c1_lde, c2_lde, jnp.asarray(mds_np), jnp.asarray(mdsi_np))
+    _RESCUE_TABLES[key] = out
+    return out
+
+
+def make_air_evaluator(stark):
+    """Build a device AIR evaluator bound to a (Fast)Stark instance.
+
+    Caches the round-constant interpolant codewords C1_i(x), C2_i(x) on the
+    FRI domain (proof-independent), so each proof pays only the ~20-multiply
+    kernel above.  Pass as ``air_evaluator=`` to FastStark.prove.
+    """
+    c1_lde, c2_lde, mds, mds_inv = rescue_air_tables(stark)
 
     def evaluator(x_lde_arg, current, next_):
         return _rescue_air_kernel(current, next_, c1_lde, c2_lde, mds, mds_inv)
@@ -336,40 +352,10 @@ def make_air_evaluator(stark):
 def make_index_air_evaluator(stark):
     """Device AIR evaluator for the BATCHED VERIFIER
     (FastStark._verify_combinations_batched): the verifier's query points
-    are FRI-domain positions, so the cached round-constant codewords of
-    :func:`make_air_evaluator` serve the constants by a gather at the
-    query indices instead of per-point Horner evaluation."""
-    import numpy as np
-
-    from ..field.limbs import NLIMBS, R as MONT_R, int_to_limbs
-    from ..ops.ntt import evaluate_domain_horner
-    from ..utils.convert import device_from_ints
-
-    rp = RescuePrime()
-    omicron = stark.omicron
-    domain = [omicron ** r for r in range(rp.N)]
-    x_lde = stark._interp_tables()["x_lde"]
-    c1, c2 = [], []
-    for i in range(rp.m):
-        vals1 = [rp.round_constants[2 * r * rp.m + i] for r in range(rp.N)]
-        vals2 = [rp.round_constants[2 * r * rp.m + rp.m + i] for r in range(rp.N)]
-        p1 = Polynomial.interpolate_domain(domain, vals1)
-        p2 = Polynomial.interpolate_domain(domain, vals2)
-        c1.append(evaluate_domain_horner(
-            device_from_ints([c.value for c in p1.coefficients]), x_lde))
-        c2.append(evaluate_domain_horner(
-            device_from_ints([c.value for c in p2.coefficients]), x_lde))
-    c1_lde = jnp.stack(c1)
-    c2_lde = jnp.stack(c2)
-
-    mds_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
-    mdsi_np = np.zeros((M, M, NLIMBS, 1), dtype=np.uint32)
-    for i in range(M):
-        for j in range(M):
-            mds_np[i, j, :, 0] = int_to_limbs(MDS[i][j] * MONT_R % P)
-            mdsi_np[i, j, :, 0] = int_to_limbs(MDS_INV[i][j] * MONT_R % P)
-    mds = jnp.asarray(mds_np)
-    mds_inv = jnp.asarray(mdsi_np)
+    are FRI-domain positions, so the cached round-constant codewords
+    serve the constants by a gather at the query indices instead of
+    per-point Horner evaluation."""
+    c1_lde, c2_lde, mds, mds_inv = rescue_air_tables(stark)
 
     def evaluator(idx, current, next_):
         c1_pts = jnp.take(c1_lde, idx, axis=-1)        # (m, L, K)

@@ -388,12 +388,17 @@ def staged_ntt(x, inverse: bool = False, scale_pre=None, scale_post=None):
     scale_pre: e.g. the coset table for an LDE; scale_post: e.g. the
     inverse coset table for coset interpolation.  1/n for the inverse
     transform is already folded into the tables.
+
+    (A jax.export AOT path was tried here in round 4 and REVERTED: on
+    this stack the deserialized module's compilation does not hit the
+    persistent cache, costing ~70-100 s per big shape per process —
+    worse than the plain jit's trace + cached-compile ~15 s.)
     """
     n = x.shape[-1]
     t = stage_tables(n, inverse)
     return _staged_jit(
-        x, scale_pre, scale_post, t.br1, t.br2, t.cross,
-        t.tw1, t.tw2, t.n1, t.n2,
+        x, scale_pre, scale_post, t.br1, t.br2, t.cross, t.tw1, t.tw2,
+        n1=t.n1, n2=t.n2,
     )
 
 

@@ -170,8 +170,22 @@ class BatchProver:
 
         timer = stark.timer
         with timer.phase("pipeline"):
-            bq_lde, tq_lde, rand_lde = self._phase1(
-                sk_dev, rand_rows, rand_poly, inv_bz, interp
+            from ..utils.aot import aot_call as _aot_call
+
+            # keyed by the preprocessing root: the phase-1 graph embeds
+            # the interp/zerofier/round-constant tables as constants.
+            # Sharded meshes bypass AOT (exports would pin shardings).
+            if self.mesh is None:
+                aot_call = _aot_call
+            else:
+                def aot_call(name, fn, a, static=None, version="1"):
+                    return fn(*a, **(static or {}))
+            aot_v = f"1-{self.tz.root.hex()[:16]}"
+            bq_lde, tq_lde, rand_lde = aot_call(
+                "rpsss_phase1",
+                self._phase1,
+                (sk_dev, rand_rows, rand_poly, inv_bz, interp),
+                version=aot_v,
             )
 
             from ..utils.convert import canonical_np
@@ -207,7 +221,12 @@ class BatchProver:
             # here was ~2*bits(e) full-array multiplies per shift
             tq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in tq_bounds])
             bq_shift = jnp.stack([stark._x_lde_pow(max_degree - b) for b in bq_bounds])
-            combos = self._phase2(bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift)
+            combos = aot_call(
+                "rpsss_phase2",
+                self._phase2,
+                (bq_lde, tq_lde, rand_lde, weights, tq_shift, bq_shift),
+                version=aot_v,
+            )
 
         with timer.phase("fri"):
             if B * N <= self.HOST_FRI_MAX:

@@ -117,7 +117,51 @@ def make_mimc_scaling_prover(
         _, proof, _ = prove_chain(mimc, stark, x, tz)
         return proof
 
+    prove_fn.get = get          # phase/byte decomposition hooks
+    prove_fn.mimc = mimc
     return prove_fn
+
+
+def collective_bytes_model(stark, s: int) -> dict:
+    """Analytic per-proof collective volume for a ShardedFastStark proof
+    on sp = s shards (bytes that would ride ICI on a real slice).
+
+    Every distributed NTT (parallel/ntt_dist.py) performs THREE
+    all_to_all exchanges of the full (NLIMBS, n) array; an all_to_all of
+    an n-element codeword moves n * 32 B * (s-1)/s across the mesh.
+    The prover runs, per proof: one length-M iNTT + one length-N LDE per
+    register (trace interpolation), one length-N LDE for the randomizer,
+    and FRI folds are shard-local (the fold pairs i, i+n/2 live on the
+    same shard after the natural-order shuffle, and commitment roots are
+    32 B each — negligible).
+    """
+    R = stark.num_registers
+    M = stark.omicron_domain_length
+    N = stark.fri_domain_length
+    elt = 32  # resident bytes per element (8 x u32 limbs)
+    frac = (s - 1) / s if s > 1 else 0.0
+    per = {}
+    total = 0
+    for name, count, n in (
+        ("trace iNTT (M)", R, M),
+        ("trace LDE (N)", R, N),
+        ("randomizer LDE (N)", 1, N),
+    ):
+        b = 3 * count * n * elt * frac
+        per[name] = b
+        total += b
+    # FRI folds: pairing i <-> i+n/2 moves the top half across the mesh
+    # each round (a ppermute of n_r/2 elements), then the folded result
+    # reshards; ~2 * n_r * 32 B per round, summing to ~2 * 2N * 32 B
+    fri_bytes = 0
+    n = N
+    for _ in range(stark.fri.num_rounds() - 1):
+        fri_bytes += 2 * n * elt * frac
+        n //= 2
+    per["FRI folds (sum rounds)"] = fri_bytes
+    total += fri_bytes
+    per["TOTAL"] = total
+    return per
 
 
 def scaling_report(prove_fn, shard_counts, reps: int = 3):

@@ -113,6 +113,20 @@ def test_mimc_large_trace_end_to_end():
         f"proof {len(proof)/1024:.0f} kB\n{stark.timer.report()}"
     )
     assert ok
+    # gap-free attribution: the phase table must account for the prover's
+    # wall clock (round-3 verdict: ~45% of the 2^20 prove was invisible
+    # to the profiler).  First-prove includes compile/trace time the
+    # phases rightly DON'T cover, so check a steady-state prove.
+    stark.timer.totals.clear()
+    stark.timer.counts.clear()
+    t0 = time.time()
+    prove_chain(mimc, stark, x, tz)
+    wall = time.time() - t0
+    attributed = sum(stark.timer.totals.values())
+    assert attributed > 0.8 * wall, (
+        f"phase table ({attributed:.2f}s) does not cover the prove wall "
+        f"clock ({wall:.2f}s)"
+    )
     # false-output rejection at scale
     assert not verify_chain(mimc, stark, x, out + FIELD.one(), proof, tz.root)
 
