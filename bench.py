@@ -27,7 +27,7 @@ def main():
 
     try:
         jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
     log("devices:", jax.devices())
@@ -161,9 +161,16 @@ def main():
             t0 = time.time()
             ok = verify_chain(mimc, stark, x, out, proof, tz.root)
             t_ver = time.time() - t0
+            # first verify pays the device-kernel compiles (the round-3
+            # verdict's ask #8 moved the per-index AIR/combination checks
+            # onto the device); time a second one for the steady state
+            t0 = time.time()
+            ok2 = verify_chain(mimc, stark, x, out, proof, tz.root)
+            t_ver2 = time.time() - t0
             log(
                 f"MiMC 2^20 trace: preprocess {t_pre:.1f}s prove {t_prove:.1f}s "
-                f"verify {t_ver:.1f}s proof {len(proof)/1024:.0f} kB verify_ok={ok}"
+                f"verify {t_ver:.1f}s (steady {t_ver2:.2f}s) "
+                f"proof {len(proof)/1024:.0f} kB verify_ok={ok and ok2}"
             )
             # steady-state second proof with a clean phase report
             stark.timer.totals.clear()

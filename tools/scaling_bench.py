@@ -38,7 +38,7 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(repo, ".jax_cache")
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from stark_anatomy_tpu.parallel.multihost import (
         collective_bytes_model,
