@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..field import ops as F
 from .domain import DOMAINS, coset_table, mont_const, power_table
@@ -308,6 +309,82 @@ def prefix_zerofier(root: int, count: int) -> jnp.ndarray:
     scale = F.mont_mul(power_table(root_inv, lo + 1), mont_const(pow(root, lo, P)))
     odd_scaled = F.mont_mul(odd, scale)
     return poly_multiply(even, odd_scaled, out_len=count + 1)
+
+
+@jax.jit
+def _prefix_zerofier_evals_core(y_tab, consts, shifts, bits):
+    """Scan body for prefix_zerofier_evals: log2(count) rolling-product
+    steps over the FULL evaluation domain, each a pair of fused
+    elementwise Montgomery multiplies plus a (dynamic-shift) roll.
+
+    consts: (K, 2, NLIMBS, 1) Montgomery scalars [c_acc, c_dbl] per step;
+    shifts: (K, 2) int32 roll amounts [r_acc, r_dbl]; bits: (K,) uint32.
+    One SMALL executable per (domain shape, K) — the whole point: the old
+    coefficient-space recursion (prefix_zerofier) touched ~10 NTT sizes
+    and ~150 distinct XLA executables per large trace, each carrying a
+    multi-second cold-compile / ~0.5 s warm-load constant through the
+    device tunnel (docs/design.md §9)."""
+    f0 = F.sub(y_tab, jnp.broadcast_to(F.mont_one(1), y_tab.shape))
+    acc0 = jnp.broadcast_to(F.mont_one(1), y_tab.shape)
+
+    def step(carry, inp):
+        fk, acc = carry
+        c, sh, bit = inp
+        term = F.mont_mul(jnp.roll(fk, sh[0], axis=-1), c[0])
+        acc = jnp.where(bit > 0, F.mont_mul(acc, term), acc)
+        fk = F.mont_mul(fk, F.mont_mul(jnp.roll(fk, sh[1], axis=-1), c[1]))
+        return (fk, acc), None
+
+    (_, acc), _ = jax.lax.scan(step, (f0, acc0), (consts, shifts, bits))
+    return acc
+
+
+def prefix_zerofier_evals(
+    y_tab: jnp.ndarray, root: int, unit: int, count: int
+) -> jnp.ndarray:
+    """Evaluations of Z(x) = prod_{i<count}(x - root^i) at every point of
+    ``y_tab`` — WITHOUT ever forming Z's coefficients.
+
+    ``y_tab`` (..., NLIMBS, D) must hold a geometric evaluation domain in
+    natural order, y_j = offset * omega_D^j, with ``root = omega_D^unit``
+    (so multiplying a point by ``root`` is a rotation of the table by
+    ``unit`` positions).  The doubling identity
+
+        F_{k+1}(y) = F_k(y) * root^{4^k} * F_k(y * root^{-2^k})
+        F_0(y)     = y - 1,  F_k(y) = prod_{i<2^k}(y - root^i)
+
+    turns each doubling into ONE elementwise product with a rolled copy of
+    the same codeword (y * root^{-s} is y_tab rolled by unit*s), and an
+    arbitrary ``count`` is assembled from its binary digits with the same
+    shift trick.  Total: ~2*log2(count) fused multiplies over the domain,
+    a single executable.
+
+    This computes the same values as evaluating the reference's
+    fast_zerofier output (/root/reference/code/ntt.py:66-80) on the domain
+    — validated bit-exactly in tests/test_ntt.py.
+    """
+    assert count >= 1
+    D = y_tab.shape[-1]
+    assert count * unit <= D, "zerofier roots must fit in the domain"
+    K = count.bit_length()
+    consts = np.empty((K, 2, y_tab.shape[-2], 1), dtype=np.uint32)
+    shifts = np.empty((K, 2), dtype=np.int32)
+    bits = np.empty((K,), dtype=np.uint32)
+    from ..field.limbs import R, int_to_limbs
+    from ..field.scalar import P
+
+    for k in range(K):
+        s_above = count & ~((1 << (k + 1)) - 1)
+        c_acc = pow(root, s_above << k, P)
+        c_dbl = pow(root, 1 << (2 * k), P)
+        consts[k, 0, :, 0] = int_to_limbs(c_acc * R % P)
+        consts[k, 1, :, 0] = int_to_limbs(c_dbl * R % P)
+        shifts[k, 0] = (unit * s_above) % D
+        shifts[k, 1] = (unit * (1 << k)) % D
+        bits[k] = (count >> k) & 1
+    return _prefix_zerofier_evals_core(
+        y_tab, jnp.asarray(consts), jnp.asarray(shifts), jnp.asarray(bits)
+    )
 
 
 def _zerofier_pow2(points: jnp.ndarray) -> jnp.ndarray:

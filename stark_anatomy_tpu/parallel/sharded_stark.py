@@ -161,6 +161,9 @@ class ShardedFastStark(FastStark):
         if not self._tables_placed:
             for key in ("zn_over_xm", "x_lde"):
                 t[key] = self._shard_last(t[key])
+            # keep the instance-level x cache pointing at the sharded copy
+            # (preprocess reads it too) so both copies don't stay resident
+            self._x_lde_arr = t["x_lde"]
             self._tables_placed = True
         return t
 
@@ -178,6 +181,7 @@ class ShardedFastStark(FastStark):
         # FRI layer commitments shard-local end-to-end (no full gather)
         self.fri._u0 = self._shard_last(self.fri._initial_u())
         self.fri.commit_codeword = self._commit_rows
+        self.fri.fused_device_commit = False
         return super().prove(
             trace, transition_constraints, boundary, tz, proof_stream, **kwargs
         )

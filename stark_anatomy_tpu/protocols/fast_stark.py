@@ -41,7 +41,7 @@ from ..errors import MalformedProof, VerificationError, rejects_malformed
 from ..field import ops as F
 from ..field.scalar import Field, FieldElement, P
 from ..ops import ntt as NTT
-from ..ops.domain import DOMAINS, mont_const, power_table
+from ..ops.domain import DOMAINS, mont_const
 from ..poly.multivariate import MPolynomial
 from ..poly.univariate import Polynomial
 from ..transcript.proof_stream import ProofStream
@@ -51,20 +51,18 @@ from .stark import Boundary, StarkParams
 
 class TransitionZerofier:
     """Preprocessing artifact (reference: fast_stark.py:36-40) extended with
-    the cached inverse codeword and Merkle tree, and SERIALIZABLE — the
-    zerofier product tree is the dominant setup cost at large traces, so a
-    deployment computes it once and every prover process loads it
-    (SURVEY.md §5 checkpoint/resume).
+    the cached inverse codeword and Merkle tree.
 
-    Version 2 artifact stores ONLY the coefficients (~32 MB at a 2^20
-    trace): the codeword is one coset NTT away (milliseconds on device),
-    whereas v1's stored codeword was 512 MB of disk and a 512 MB
-    host->device transfer per load."""
+    History: rounds 2-4 serialized this to disk (v1: the 512 MB codeword,
+    v2: 32 MB of coefficients) because the coefficient-space product tree
+    cost ~10 minutes of XLA compiles cold.  The rolling evaluation kernel
+    (ops/ntt.py:prefix_zerofier_evals) computes the codeword directly on
+    the FRI domain in ONE executable and ~100 ms of device time, so the
+    disk artifact — and its staleness/fingerprinting hazards (ADVICE.md
+    round 4) — was removed entirely; ``preprocess()`` is now cheap enough
+    to run per process."""
 
-    FORMAT_VERSION = 2
-
-    def __init__(self, coeffs, codeword, rows, inv_codeword, tree):
-        self.coeffs = coeffs                  # device (L, T) Montgomery
+    def __init__(self, codeword, rows, inv_codeword, tree):
         self.codeword = codeword              # device (L, N_fri) Montgomery
         self.rows = rows                      # opening-value accessor
         self.inv_codeword = inv_codeword      # device (L, N_fri)
@@ -73,20 +71,6 @@ class TransitionZerofier:
     @property
     def root(self) -> bytes:
         return self.tree.root
-
-    def save(self, path: str) -> None:
-        np.savez(path, version=self.FORMAT_VERSION, coeffs=np.asarray(F.from_mont(self.coeffs)))
-
-    @classmethod
-    def load_coeffs(cls, path: str) -> jnp.ndarray:
-        """Load the Montgomery coefficient array from a saved artifact."""
-        data = np.load(path)
-        if int(data["version"]) != cls.FORMAT_VERSION:
-            raise ValueError(
-                f"transition zerofier artifact version {int(data['version'])} "
-                f"!= {cls.FORMAT_VERSION}"
-            )
-        return F.to_mont(jnp.asarray(data["coeffs"]))
 
 
 class FastStark(StarkParams):
@@ -113,43 +97,42 @@ class FastStark(StarkParams):
     # ------------------------------------------------------------------
     # preprocessing
     # ------------------------------------------------------------------
-    def preprocess(self, cache_path: Optional[str] = None) -> TransitionZerofier:
+    def preprocess(self) -> TransitionZerofier:
         """Commit to the transition zerofier Z(x) = prod_{i<T-1}(x - omicron^i).
 
-        With ``cache_path``, the coefficient artifact is loaded if present
-        and saved after computing otherwise (checkpoint/resume for large
-        traces); the codeword/commitment are cheap to rebuild from it.
+        Large traces evaluate Z DIRECTLY on the FRI domain with the rolling
+        kernel (ops/ntt.py:prefix_zerofier_evals) — no coefficients, no
+        NTTs, one executable; small traces keep the host coefficient path
+        (no device work at all).  Both produce identical codeword values,
+        hence identical commitments (reference: fast_stark.py:36-40).
         """
-        coeffs = None
-        if cache_path is not None and os.path.exists(cache_path):
-            try:
-                coeffs = TransitionZerofier.load_coeffs(cache_path)
-            except Exception:
-                # stale format OR unreadable artifact (truncated .npz raises
-                # BadZipFile/EOFError/OSError, not ValueError): recompute
-                os.remove(cache_path)
-        if coeffs is None:
+        count = self.original_trace_length - 1
+        if count <= NTT.HOST_ZEROFIER_MAX:
             from ..poly.host_ntt import host_zerofier
 
-            count = self.original_trace_length - 1
-            if count <= NTT.HOST_ZEROFIER_MAX:
-                # small domains: host big-int accumulation avoids compiling
-                # a device product tree of many distinct shapes
-                pts = [e.value for e in self.omicron_powers(count)]
-                coeffs = device_from_ints(host_zerofier(pts))
-            else:
-                # large traces: parity-split recursion — one poly multiply
-                # per level (~2 full NTTs total) instead of a product tree
-                coeffs = NTT.prefix_zerofier(self.omicron.value, count)
-        codeword = NTT.coset_evaluate(
-            coeffs, self.generator.value, self.fri_domain_length
-        )
+            # small domains: host big-int accumulation avoids compiling
+            # a device product tree of many distinct shapes
+            pts = [e.value for e in self.omicron_powers(count)]
+            coeffs = device_from_ints(host_zerofier(pts))
+            codeword = NTT.coset_evaluate(
+                coeffs, self.generator.value, self.fri_domain_length
+            )
+        else:
+            codeword = NTT.prefix_zerofier_evals(
+                self._x_lde(), self.omicron.value, self.expansion_factor, count
+            )
         rows, tree = self._commit_rows(codeword)
         inv_codeword = F.batch_inv(codeword)
-        tz = TransitionZerofier(coeffs, codeword, rows, inv_codeword, tree)
-        if cache_path is not None and not os.path.exists(cache_path):
-            tz.save(cache_path)
-        return tz
+        return TransitionZerofier(codeword, rows, inv_codeword, tree)
+
+    def _x_lde(self) -> jnp.ndarray:
+        """Cached FRI-domain codeword of x itself: g * omega_N^j."""
+        if getattr(self, "_x_lde_arr", None) is None:
+            N = self.fri_domain_length
+            self._x_lde_arr = F.mont_mul(
+                DOMAINS.get(N)["fwd_powers"], mont_const(self.generator.value)
+            )
+        return self._x_lde_arr
 
     # ------------------------------------------------------------------
     # cached per-instance device tables
@@ -162,38 +145,54 @@ class FastStark(StarkParams):
         M = self.omicron_domain_length
         N = self.fri_domain_length
         g = self.generator.value
-
-        # Z_n: zerofier of the first n omicron-domain points
-        from ..poly.host_ntt import host_zerofier
+        w = self.omicron.value
+        E = self.expansion_factor
+        x_lde = self._x_lde()
 
         if n <= NTT.HOST_ZEROFIER_MAX:
+            # small traces: host coefficients; Z_n' via the coefficient
+            # derivative (k+1) * z_{k+1} evaluated with one length-M NTT
+            from ..poly.host_ntt import host_zerofier
+
+            from ..field.limbs import NLIMBS
+
             pts = [e.value for e in self.omicron_powers(n)]
             zn = device_from_ints(host_zerofier(pts))          # (L, n+1)
+            kplus1 = np.arange(1, zn.shape[-1], dtype=np.uint32)
+            k_limbs = np.zeros((NLIMBS, len(kplus1)), dtype=np.uint32)
+            k_limbs[0] = kplus1 & 0xFFFF
+            k_limbs[1] = kplus1 >> 16
+            k_mont = F.to_mont(jnp.asarray(k_limbs))
+            dz = F.mont_mul(zn[..., 1:], k_mont)                # (L, n)
+            dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))          # (L, M)
+            inv_dz = F.batch_inv(dz_evals[..., :n])             # (L, n)
+            zn_fri = NTT.coset_evaluate(zn, g, N)               # (L, N)
         else:
-            zn = NTT.prefix_zerofier(self.omicron.value, n)    # (L, n+1)
-
-        # Z_n' evaluated on <omega_M>, first n entries, inverted
-        # derivative: (k+1) * z_{k+1}
-        import jax.numpy as jnp
-
-        from ..field.limbs import NLIMBS
-
-        kplus1 = np.arange(1, zn.shape[-1], dtype=np.uint32)
-        k_limbs = np.zeros((NLIMBS, len(kplus1)), dtype=np.uint32)
-        k_limbs[0] = kplus1 & 0xFFFF
-        k_limbs[1] = kplus1 >> 16
-        k_mont = F.to_mont(jnp.asarray(k_limbs))
-        dz = F.mont_mul(zn[..., 1:], k_mont)                    # (L, n)
-        dz_evals = NTT.ntt(NTT._pad_coeffs(dz, M))              # (L, M)
-        inv_dz = F.batch_inv(dz_evals[..., :n])                        # (L, n)
-
-        # Z_n on the FRI coset
-        zn_fri = NTT.coset_evaluate(zn, g, N)                  # (L, N)
+            # large traces: NO coefficient form of Z_n anywhere.  Z_n on
+            # the FRI coset comes from the rolling evaluation kernel, and
+            # 1/Z_n'(w^i) from the SUFFIX zerofier S = prod_{j>=n}(x - w^j):
+            # Z_n * S = x^M - 1  =>  Z_n'(w^i) = M * w^{-i} / S(w^i) at the
+            # prefix roots, so  1/Z_n'(w^i) = S(w^i) * w^i / M  — closed
+            # form, no derivative, no forward NTT, no batched inversion.
+            zn_fri = NTT.prefix_zerofier_evals(x_lde, w, E, n)  # (L, N)
+            m_tab = DOMAINS.get(M)["fwd_powers"]                # w^i table
+            if M == n:
+                # degenerate (degree-1 AIR at a power-of-two randomized
+                # trace): Z_n = x^M - 1, so 1/Z_n'(w^i) = w^i / M
+                inv_dz = F.mont_mul(m_tab, mont_const(pow(M, P - 2, P)))
+            else:
+                suffix = NTT.prefix_zerofier_evals(m_tab, w, 1, M - n)
+                # S(w^i) = w^{n(M-n)} * S0(w^{i-n}) and for i < n the
+                # wrapped index i-n+M lands in the LAST n entries of S0
+                const = pow(w, n * (M - n), P) * pow(M, P - 2, P) % P
+                inv_dz = F.mont_mul(
+                    F.mont_mul(suffix[..., M - n :], m_tab[..., :n]),
+                    mont_const(const),
+                )                                               # (L, n)
 
         # 1 / ((g*omega_N^j)^M - 1): period = expansion_factor, so only E
         # distinct values exist — computed as E host inversions and tiled
         # on device (a host loop over all N big-ints took minutes at 2^24)
-        E = self.expansion_factor
         zeta = pow(self.omega.value, M, P)
         gM = pow(g, M, P)
         vals = [pow(gM * pow(zeta, j, P) % P - 1, P - 2, P) for j in range(E)]
@@ -203,9 +202,6 @@ class FastStark(StarkParams):
         # back-to-back, so bake their product once (halves resident tables
         # and saves one full-codeword multiply per register per proof)
         zn_over_xm = F.mont_mul(zn_fri, inv_xm)
-
-        # FRI-domain codeword of x itself: g * omega_N^j
-        x_lde = F.mont_mul(DOMAINS.get(N)["fwd_powers"], mont_const(g))
 
         self._interp_cache = {
             "inv_dz": inv_dz,

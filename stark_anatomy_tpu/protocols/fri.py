@@ -103,8 +103,13 @@ class Fri:
         self.tree_builder = MerkleTree.from_limbs_paired
         # full commit hook: device (L, n) codeword -> (rows, tree); the
         # sharded prover substitutes a shard-local version that never
-        # gathers the codeword into one host array
+        # gathers the codeword into one host array.  Installing a custom
+        # hook MUST clear ``fused_device_commit`` — the fused
+        # fold+commit kernel bypasses the hook entirely (explicit flag;
+        # the round-4 bound-method identity check silently disabled the
+        # fused path whenever anything wrapped the hook)
         self.commit_codeword = self._commit_codeword_local
+        self.fused_device_commit = True
         assert self.num_rounds() >= 1, "cannot do FRI with less than one round"
 
     def _commit_codeword_local(self, codeword: jnp.ndarray):
@@ -211,10 +216,7 @@ class Fri:
         layers = []
         trees: List[MerkleTree] = []
         num = self.num_rounds()
-        fused = (
-            self.commit_codeword == self._commit_codeword_local
-            and use_device_commit(self.domain_length)
-        )
+        fused = self.fused_device_commit and use_device_commit(self.domain_length)
         host_ints: Optional[List[int]] = None   # set once on the host tail
         host_u: Optional[List[int]] = None
         omega_r, offset_r = self.omega, self.offset

@@ -129,24 +129,41 @@ def test_from_config_and_mesh_config():
         assert s3.mesh is mesh
 
 
-def test_preprocess_artifact_roundtrip(tmp_path):
-    """The preprocessing artifact persists and reloads with the same root,
-    and a proof made against the loaded artifact verifies (SURVEY §5
-    checkpoint/resume)."""
+def test_preprocess_rolling_matches_host_path(monkeypatch):
+    """The rolling-evaluation preprocessing/interpolation path (the
+    large-trace branch, ops/ntt.py:prefix_zerofier_evals) must produce the
+    identical zerofier commitment AND byte-identical proofs to the host
+    coefficient branch — the threshold between them is a pure performance
+    knob (replaces the round-4 disk-artifact round-trip test; the artifact
+    was removed when preprocessing became one cheap executable)."""
+    from stark_anatomy_tpu.ops import ntt as NTT
+
     rp, stark = setup_stark()
-    path = str(tmp_path / "tz.npz")
-    tz = stark.preprocess(cache_path=path)
+    tz = stark.preprocess()
+    input_element = FIELD.sample(b"rolling-vs-host")
+    output_element = rp.hash(input_element)
+    air = rp.transition_constraints(stark.omicron)
+    boundary = rp.boundary_constraints(output_element)
+    trace = rp.trace(input_element)
+    proof = stark.prove(
+        trace, air, boundary, tz, urandom=lambda k: b"\x07" * k
+    )
 
+    monkeypatch.setattr(NTT, "HOST_ZEROFIER_MAX", 1)
     rp2, stark2 = setup_stark()
-    tz2 = stark2.preprocess(cache_path=path)  # loads
+    tz2 = stark2.preprocess()  # rolling path
     assert tz2.root == tz.root
-    import numpy as np
-
-    assert np.array_equal(np.asarray(tz2.coeffs), np.asarray(tz.coeffs))
     from stark_anatomy_tpu.commit.device_merkle import gather_rows
 
     idx = [0, 7, 100]
     assert gather_rows(tz2.rows, idx) == gather_rows(tz.rows, idx)
+    proof2 = stark2.prove(
+        rp2.trace(input_element), rp2.transition_constraints(stark2.omicron),
+        rp2.boundary_constraints(output_element), tz2,
+        urandom=lambda k: b"\x07" * k,
+    )
+    assert proof2 == proof
+    assert stark2.verify(proof2, air, boundary, tz2.root)
 
     input_element = FIELD.sample(b"ckpt")
     output_element = rp2.hash(input_element)

@@ -137,6 +137,31 @@ def test_zerofier_product_tree():
         assert got == [c.value for c in want.coefficients]
 
 
+def test_prefix_zerofier_evals():
+    """Rolling-evaluation zerofier (the large-trace preprocessing kernel)
+    vs direct evaluation of the coefficient zerofier, across domains,
+    offsets, roll units and counts incl. the full-domain edge case."""
+    from stark_anatomy_tpu.ops.domain import DOMAINS, mont_const
+
+    gen = FIELD.generator().value
+    for Dlen, unit, count, offset in [
+        (64, 1, 5, 1), (64, 4, 13, 1), (128, 4, 32, gen),
+        (64, 2, 17, 3), (256, 1, 255, 1), (64, 1, 64, 1), (64, 1, 1, 7),
+    ]:
+        omega_D = FIELD.primitive_nth_root(Dlen).value
+        root = pow(omega_D, unit, P)
+        y = F.mont_mul(DOMAINS.get(Dlen)["fwd_powers"], mont_const(offset))
+        got = back(D.prefix_zerofier_evals(y, root, unit, count))
+        zpoly = Polynomial.zerofier_domain(
+            [FieldElement(pow(root, i, P), FIELD) for i in range(count)]
+        )
+        want = [
+            zpoly.evaluate(FieldElement(offset * pow(omega_D, j, P) % P, FIELD)).value
+            for j in range(Dlen)
+        ]
+        assert got == want, (Dlen, unit, count, offset)
+
+
 def test_power_table():
     from stark_anatomy_tpu.ops.domain import power_table
 

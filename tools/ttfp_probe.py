@@ -31,10 +31,8 @@ steps = 1 << log2_steps
 
 t_start = time.time()
 mimc, stark = make_stark(steps, 4, 64, 128)
-art = os.path.join(root, ".artifacts")
-os.makedirs(art, exist_ok=True)
 t0 = time.time()
-tz = stark.preprocess(cache_path=os.path.join(art, f"mimc{log2_steps}_tz.npz"))
+tz = stark.preprocess()
 print(f"[ttfp] preprocess: {time.time()-t0:.1f}s", flush=True)
 
 x = Field.main().sample(b"bench-mimc")
