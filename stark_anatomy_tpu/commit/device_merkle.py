@@ -202,7 +202,12 @@ def _flat_tree_core(leaf_digests: jnp.ndarray) -> jnp.ndarray:
         _, ys = jax.lax.scan(body, levels[-1], None, length=iters)
         for j in range(iters):
             levels.append(ys[j][..., : w >> (j + 1)])
-    return jnp.concatenate(levels, axis=-1) if len(levels) > 1 else levels[0]
+    # trailing zero pad column: the natural concatenated width 2n-1 is
+    # ODD, and XLA compiles index gathers on odd-width arrays
+    # pathologically (63 s for one multiproof gather shape at 2^18-1,
+    # measured round 5); one pad lane makes every downstream gather cheap
+    levels.append(jnp.zeros_like(levels[-1][..., :1]))
+    return jnp.concatenate(levels, axis=-1)
 
 
 _flat_tree_jit = jax.jit(_flat_tree_core)
@@ -236,34 +241,51 @@ class DeviceMerkleTree:
     over the flat array — per-level gathers would pay the device tunnel's
     ~25 ms eager-dispatch latency log2(n) times per proof."""
 
-    __slots__ = ("flat", "offsets", "depth", "_root")
+    __slots__ = ("flat", "offsets", "depth", "_root", "_n_leaves")
 
     def __init__(self, leaf_digests: jnp.ndarray = None, flat: jnp.ndarray = None,
-                 root: bytes = None):
+                 root: bytes = None, n_leaves: int = None):
         """Build from (8, n) leaf digests (ONE jitted call for all levels),
         or wrap a precomputed ``flat`` (8, 2n-1) level array — the fused
-        fold+commit path computes trees inside a larger executable."""
+        fold+commit path computes trees inside a larger executable.
+
+        ``n_leaves``: the LOGICAL leaf count when ``flat`` was produced in
+        a fixed-width padded buffer (the shape-family FRI kernel,
+        protocols/fri.py:_fold_commit_padded): physical level widths are
+        [pad, pad/2, ..., 1] but only the first n_leaves/2^l entries of
+        level l are real; the true root sits at the START of physical
+        level log2(n_leaves), not at the end of the array."""
         if flat is None:
             flat = _flat_tree_jit(leaf_digests)
-        n = (flat.shape[-1] + 1) // 2
+        pad = (flat.shape[-1] + 1) // 2
+        n = pad if n_leaves is None else n_leaves
+        assert n <= pad
+        self._n_leaves = n
         self.depth = max(n.bit_length() - 1, 0)
         self.offsets = [0]
-        size = n
+        size = pad
         while True:
             self.offsets.append(self.offsets[-1] + size)
             if size == 1:
                 break
             size //= 2
         self.flat = flat
-        self._root = root if root is not None else _digest_col_bytes(
-            np.asarray(jax.device_get(self.flat[:, -1:]))[:, 0]
-        )
+        if root is None:
+            col = self.offsets[self.depth]
+            root = _digest_col_bytes(
+                np.asarray(jax.device_get(self.flat[:, col : col + 1]))[:, 0]
+            )
+        self._root = root
 
     @property
     def levels(self) -> List[jnp.ndarray]:
-        """Per-level views into the flat digest array (testing/debug)."""
+        """Per-level views into the flat digest array (testing/debug) —
+        LOGICAL widths (pad lanes of a padded tree excluded)."""
         return [
-            self.flat[:, self.offsets[k] : self.offsets[k + 1]]
+            self.flat[
+                :,
+                self.offsets[k] : self.offsets[k] + max(self._n_leaves >> k, 1),
+            ]
             for k in range(self.depth + 1)
         ]
 
@@ -272,7 +294,7 @@ class DeviceMerkleTree:
         return self._root
 
     def __len__(self) -> int:
-        return self.offsets[1]
+        return self._n_leaves
 
     def _gather_flat(self, flat_idx: Sequence[int]) -> List[bytes]:
         cols = _take_padded(self.flat, list(flat_idx))
@@ -311,17 +333,20 @@ class DeviceRows:
     queried values are gathered on device and converted host-side —
     the bulk codeword never transfers."""
 
-    __slots__ = ("canon",)
+    __slots__ = ("canon", "_length")
 
-    def __init__(self, canon: jnp.ndarray):
+    def __init__(self, canon: jnp.ndarray, length: int = None):
         self.canon = canon                                  # (8, n) canonical
+        # logical length: the padded-buffer FRI kernel produces canon
+        # arrays whose tail lanes are pad garbage the protocol never reads
+        self._length = canon.shape[-1] if length is None else length
 
     @property
     def shape(self):
-        return (self.canon.shape[-1], self.canon.shape[0])
+        return (self._length, self.canon.shape[0])
 
     def __len__(self) -> int:
-        return self.canon.shape[-1]
+        return self._length
 
     def gather(self, indices) -> List[int]:
         """Canonical ints at ``indices`` (one device gather)."""
@@ -394,6 +419,31 @@ def _commit_paired_core(codeword_mont: jnp.ndarray):
     return canon, _flat_tree_core(leaves)
 
 
+def _commit_paired_dynamic(codeword_mont: jnp.ndarray, half: jnp.ndarray):
+    """(8, W)-buffer commit with DYNAMIC logical length h: pairs leaf i
+    with element i + h/2 where only the first h lanes are real; pad lanes
+    produce garbage digests the host never reads.  Traced inside the
+    shape-family FRI kernel (protocols/fri.py:_fold_commit_padded) so ONE
+    executable serves several fold rounds."""
+    from ..field import ops as F
+
+    canon = F.from_mont(codeword_mont)
+    W = canon.shape[-1]
+    w = canon[..., 0::2, :] | (canon[..., 1::2, :] << np.uint32(16))   # (4, W)
+    lo = w[..., : W // 2]
+    hi = jax.lax.dynamic_slice_in_dim(
+        w, (half >> 1).astype(jnp.int32), W // 2, axis=-1
+    )
+    zero = jnp.zeros_like(lo[..., 0, :])
+    m = (
+        [lo[..., k, :] for k in range(4)]
+        + [hi[..., k, :] for k in range(4)]
+        + [zero] * 8
+    )
+    leaves = jnp.stack(_compress_words(m, 32), axis=-2)
+    return canon, _flat_tree_core(leaves)
+
+
 def device_commit_paired(codeword_mont: jnp.ndarray):
     """Commit a device Montgomery codeword (8, n) with paired leaves,
     entirely on device: ONE dispatch + one 32-byte root fetch.
@@ -407,7 +457,7 @@ def device_commit_paired_many(codewords_mont: jnp.ndarray):
     canonical array and tree, ONE fetch brings back all R roots.
     Returns a list of (DeviceRows, DeviceMerkleTree)."""
     canon, flat = _commit_paired_core(codewords_mont)
-    roots = np.asarray(jax.device_get(flat[..., -1]))       # (R, 8)
+    roots = np.asarray(jax.device_get(flat[..., -2]))       # (R, 8); -1 is pad
     return [
         (
             DeviceRows(canon[r]),

@@ -14,7 +14,7 @@ which is what a TPU wants.
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +55,15 @@ def mont_const(value: int) -> jnp.ndarray:
         )[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n",),
+    # build-only kernel: its runtime (a handful of table multiplies, run
+    # once per process) is irrelevant next to its compile bill — the
+    # reduced-effort XLA pipeline compiles the 2^20 build in 13.5 s vs
+    # 23-35 s at default effort (measured round 5)
+    compiler_options={"exec_time_optimization_effort": -1.0},
+)
 def _power_table_core(step: jnp.ndarray, n: int) -> jnp.ndarray:
     """Doubling construction as ONE executable: powers[2^k + i] =
     powers[2^k] * powers[i].  Keeping the whole loop in one jit matters on
@@ -81,10 +89,43 @@ def power_table(base: int, n: int) -> jnp.ndarray:
     prefix zerofiers need odd lengths like count//2 + 1).  Built under
     ensure_compile_time_eval when triggered inside an outer jit trace so
     cached tables are always concrete.
-    """
+
+    The doubling executable is keyed only by the table SHAPE, so at any
+    given size ONE ~20 s XLA compile serves every base — the master omega
+    table and both coset-offset tables share it (a two-level
+    outer-product construction was measured at ~60 s of compile for the
+    same table and reverted, round 5)."""
     assert n >= 1
     with _concrete_ctx():
         return _power_table_core(mont_const(base), n)
+
+
+@functools.partial(jax.jit, static_argnames=("length",))
+def _master_gather(tab: jnp.ndarray, e: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Gather [w^0, w^e, w^(2e), ...] (length entries) from the master
+    power table ``tab`` of the full group <w> of order m.
+
+    m divides 2^32 (power-of-two subgroup), so uint32 wrap-around products
+    reduce mod m exactly: idx = (i * e) & (m - 1).  One tiny executable
+    per (m, length) shape serves EVERY derived table — strides, inverse
+    tables, arbitrary power steps."""
+    m = tab.shape[-1]
+    idx = (jnp.arange(length, dtype=jnp.uint32) * e) & jnp.uint32(m - 1)
+    return jnp.take(tab, idx, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2"))
+def _master_gather_outer(tab: jnp.ndarray, e: jnp.ndarray, n1: int, n2: int):
+    """Gather the outer-product table w^(e*k1*j2) (L, n1, n2) from the
+    master table — the four-step NTT's cross-twiddle block in ONE gather
+    (replaces the per-size doubling construction whose unrolled graph
+    cost ~12 s of XLA compile per transform size)."""
+    m = tab.shape[-1]
+    k1 = (jnp.arange(n1, dtype=jnp.uint32) * e)[:, None]
+    idx = (k1 * jnp.arange(n2, dtype=jnp.uint32)[None, :]) & jnp.uint32(m - 1)
+    return jnp.take(tab, idx.reshape(-1), axis=-1).reshape(
+        tab.shape[:-1] + (n1, n2)
+    )
 
 
 def bit_reversal_permutation(n: int) -> np.ndarray:
@@ -102,10 +143,18 @@ class _Domain:
     bitrev, n_inv) is built on first subscript access: at n = 2^24 a single
     direction's power table is 512 MB of HBM, so eagerly building all four
     tables would double the resident footprint of every large transform
-    (the four-step path needs none of them)."""
+    (the four-step path needs none of them).
 
-    def __init__(self, n: int, field: Field):
+    Power tables are DERIVED from the process-wide master table (see
+    DomainCache.master_powers): the subgroup roots are coherent
+    (omega_{n/2} = omega_n^2, scalar.py:primitive_nth_root), so every
+    omega table at every size is one strided gather from a single built
+    table — collapsing the per-size table-builder executables that
+    dominated cold time-to-first-proof (docs/design.md §9)."""
+
+    def __init__(self, n: int, field: Field, cache: "DomainCache"):
         self.n = n
+        self._domains = cache
         omega = field.primitive_nth_root(n).value
         self._vals: dict = {"omega": omega, "omega_inv": pow(omega, P - 2, P)}
 
@@ -113,9 +162,9 @@ class _Domain:
         if key not in self._vals:
             n = self.n
             if key == "fwd_powers":
-                v = power_table(self._vals["omega"], n)
+                v = self._domains.master_powers(1, n, order=n)
             elif key == "inv_powers":
-                v = power_table(self._vals["omega_inv"], n)
+                v = self._domains.master_powers(-1, n, order=n)
             elif key == "bitrev":
                 with _concrete_ctx():
                     v = jnp.asarray(bit_reversal_permutation(n))
@@ -128,16 +177,55 @@ class _Domain:
 
 
 class DomainCache:
-    """Per-process cache of NTT domain tables keyed by domain size."""
+    """Per-process cache of NTT domain tables keyed by domain size, plus
+    the MASTER power table every omega table derives from."""
 
     def __init__(self):
         self._cache: Dict[int, _Domain] = {}
         self._field = Field.main()
+        self._master: Optional[Tuple[int, jnp.ndarray]] = None  # (m, table)
 
     def get(self, n: int) -> _Domain:
         if n not in self._cache:
-            self._cache[n] = _Domain(n, self._field)
+            self._cache[n] = _Domain(n, self._field, self)
         return self._cache[n]
+
+    def master(self, n: int) -> Tuple[int, jnp.ndarray]:
+        """The (m, [omega_m^0 .. omega_m^(m-1)]) master table for some
+        m >= n.  Built once per process at the largest size requested so
+        far; a later larger request rebuilds (prior derivations stay
+        valid — they are value copies)."""
+        assert n >= 1
+        n = 1 << (n - 1).bit_length()  # round up to a valid subgroup order
+        if self._master is None or self._master[0] < n:
+            omega = self._field.primitive_nth_root(n).value
+            self._master = (n, power_table(omega, n))
+        return self._master
+
+    def master_powers(
+        self, step_exp: int, length: int, order: Optional[int] = None
+    ) -> jnp.ndarray:
+        """Table [w_order^(step_exp * i) for i < length] as ONE gather from
+        the master table, where w_order is the canonical primitive root of
+        the given (power-of-two) order — default: the master's own order.
+        ``step_exp`` may be negative (inverse tables)."""
+        order_hint = order if order is not None else length
+        m, tab = self.master(max(order_hint, length))
+        if order is None:
+            order = m
+        e = step_exp * (m // order) % m
+        with _concrete_ctx():
+            return _master_gather(tab, jnp.uint32(e), length)
+
+    def master_powers_outer(
+        self, step_exp: int, n1: int, n2: int, order: int
+    ) -> jnp.ndarray:
+        """Outer-product table w_order^(step_exp * k1 * j2), shape
+        (L, n1, n2), as one gather from the master table."""
+        m, tab = self.master(order)
+        e = step_exp * (m // order) % m
+        with _concrete_ctx():
+            return _master_gather_outer(tab, jnp.uint32(e), n1, n2)
 
 
 DOMAINS = DomainCache()

@@ -43,7 +43,6 @@ from .domain import (
     _concrete_ctx,
     bit_reversal_permutation,
     mont_const,
-    power_table,
 )
 
 # smallest transform routed through this module (below: the scan path).
@@ -224,16 +223,22 @@ def row_stages(xr, twiddles, nk: int):
     return xr
 
 
-def _stage_rows(wk: int, nk: int):
-    """Per-pass twiddle rows for a length-nk transform with root wk.
+@functools.partial(jax.jit, static_argnames=("nk",))
+def _stage_rows_core(full: jnp.ndarray, ir: jnp.ndarray, nk: int):
+    """Per-pass twiddle rows for a length-nk transform, as ONE executable.
 
-    Level s (half-size m = 2^s) twiddle j -> wk^(j * nk/(2m)), j in [0, m).
+    Level s (half-size m = 2^s) twiddle j -> wk^(j * nk/(2m)), j in [0, m),
+    gathered from ``full`` = [wk^0 .. wk^(nk/2 - 1)]; ``ir`` is the
+    Montgomery fourth root wk^(nk/4).  The compact multiply lowering keeps
+    the graph tiny — table construction is bandwidth-trivial, but the
+    previous eager per-level construction compiled ~10 small unrolled
+    mont_mul executables (~29 s cold, measured round 5).
+
     Returns a tuple (one entry per pass) of twiddle-array tuples matching
     row_stages' plan: radix-2 entries are (w_rows,), radix-4 entries are
     (w1_rows, w2a_rows, w2i_rows); absent/trivial tables are None.
     """
     log_n = nk.bit_length() - 1
-    full = power_table(wk, max(nk // 2, 1))  # wk^0 .. wk^(nk/2 - 1)
 
     def level_rows(s):
         m = 1 << s
@@ -243,8 +248,6 @@ def _stage_rows(wk: int, nk: int):
         t = jnp.take(full, idx, axis=-1)  # (L, m)
         return tuple(t[k] for k in range(NLIMBS))
 
-    i_root = pow(wk, nk // 4, P) if nk >= 4 else 1
-    ir = mont_const(i_root)  # (L, 1)
     out = []
     for kind, s in _plan_passes(log_n):
         if kind == 2:
@@ -255,38 +258,43 @@ def _stage_rows(wk: int, nk: int):
             w2 = level_rows(s + 1)  # (2m,) tables; first m entries = w2a
             if w2 is None:
                 w2a = None
-                w2i = tuple(jnp.broadcast_to(ir[k], (1,)) for k in range(NLIMBS))
+                w2i = tuple(
+                    jnp.broadcast_to(ir[k], (1,)) for k in range(NLIMBS)
+                )
             else:
                 w2a = tuple(w[:m] for w in w2)
-                w2i_arr = F.mont_mul(jnp.stack([w[:m] for w in w2]), ir)
+                w2i_arr = F._mont_mul_compact(
+                    jnp.stack([w[:m] for w in w2]), ir
+                )
                 w2i = tuple(w2i_arr[k] for k in range(NLIMBS))
             out.append((w1, w2a, w2i))
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("n1", "n2"))
-def _cross_doubling(row_bases: jnp.ndarray, n1: int, n2: int) -> jnp.ndarray:
-    """(log2(n2), L, n1) bases -> (L, n1, n2) cross table w^(k1*j2) by
-    doubling over the j2 axis — one executable, never touching a full
-    length-n power table (512 MB extra at 2^24)."""
-    # doubling in (n1, L, cols) layout so the limb axis sits at -2 as the
-    # compact multiply expects; one transpose to (L, n1, n2) at the end
-    block = jnp.broadcast_to(F.mont_one(1)[None], (n1, NLIMBS, 1))
-    s, k = 1, 0
-    while s < n2:
-        # columns [s, 2s) = columns [0, s) * w^(s*k1)
-        base = jnp.transpose(row_bases[k], (1, 0))[:, :, None]  # (n1, L, 1)
-        block = jnp.concatenate(
-            [block, F._mont_mul_compact(block, jnp.broadcast_to(base, block.shape))],
-            axis=-1,
+def _stage_rows(wk: int, nk: int, full: jnp.ndarray):
+    i_root = pow(wk, nk // 4, P) if nk >= 4 else 1
+    return _stage_rows_core(full, mont_const(i_root), nk)
+
+
+@functools.partial(jax.jit, static_argnames=("scaled",))
+def _cross_finish(cross: jnp.ndarray, scale: jnp.ndarray, scaled: bool):
+    """Optionally scale the gathered (L, n1, n2) cross table (the inverse
+    transform folds 1/n in here) and store it packed — one executable."""
+    if scaled:
+        cross = jnp.moveaxis(
+            F.mont_mul(jnp.moveaxis(cross, 0, -2), scale), -2, 0
         )
-        s *= 2
-        k += 1
-    return jnp.transpose(block, (1, 0, 2))
+    return jnp.stack(_pack_rows([cross[k] for k in range(NLIMBS)]))
 
 
 class _StageTables:
-    """Cached per-(n, inverse) tables for the staged four-step transform."""
+    """Cached per-(n, inverse) tables for the staged four-step transform.
+
+    Every power table here — the per-axis stage twiddles and the (n1, n2)
+    cross block — is ONE gather from the process-wide master table
+    (ops/domain.py:DomainCache.master): the per-size doubling
+    constructions they replace each carried a multi-second XLA compile
+    (docs/design.md §9, round-5 executable-count collapse)."""
 
     def __init__(self, n: int, inverse: bool):
         with _concrete_ctx():
@@ -295,34 +303,24 @@ class _StageTables:
             n2 = n // n1
             dom = DOMAINS.get(n)
             w = dom["omega_inv"] if inverse else dom["omega"]
+            sgn = -1 if inverse else 1
             self.n, self.n1, self.n2 = n, n1, n2
-            self.tw1 = _stage_rows(pow(w, n2, P), n1)
-            self.tw2 = _stage_rows(pow(w, n1, P), n2)
+            self.tw1 = _stage_rows(
+                pow(w, n2, P), n1,
+                DOMAINS.master_powers(sgn * n2, max(n1 // 2, 1), order=n),
+            )
+            self.tw2 = _stage_rows(
+                pow(w, n1, P), n2,
+                DOMAINS.master_powers(sgn * n1, max(n2 // 2, 1), order=n),
+            )
             self.br1 = jnp.asarray(bit_reversal_permutation(n1))
             self.br2 = jnp.asarray(bit_reversal_permutation(n2))
-            row_bases = jnp.stack(
-                [
-                    power_table(pow(w, 1 << k, P), n1)
-                    for k in range(max(n2.bit_length() - 1, 1))
-                ]
-            )
-            cross = _cross_doubling(row_bases, n1, n2)
-            if inverse:
-                # fold the 1/n scaling into the cross table (saves a pass);
-                # cross is limb-FIRST (L, n1, n2), mont_mul wants limbs at
-                # -2, so scale through a transposed view
-                cross = jnp.moveaxis(
-                    F.mont_mul(
-                        jnp.moveaxis(cross, 0, -2),
-                        mont_const(pow(n, P - 2, P)),
-                    ),
-                    -2,
-                    0,
-                )
+            cross = DOMAINS.master_powers_outer(sgn, n1, n2, order=n)
             # store PACKED (L/2, n1, n2): halves both residency and the
-            # cross-multiply's table read
-            self.cross = jnp.stack(
-                _pack_rows([cross[k] for k in range(NLIMBS)])
+            # cross-multiply's table read; the inverse transform folds the
+            # 1/n scaling into the cross table (saves a full pass)
+            self.cross = _cross_finish(
+                cross, mont_const(pow(n, P - 2, P)), scaled=inverse
             )
 
 

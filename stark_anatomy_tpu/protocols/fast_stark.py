@@ -263,6 +263,11 @@ class FastStark(StarkParams):
         )
 
         R = codewords.shape[0]
+        if R == 1:
+            # single-register workloads (MiMC): share the unbatched commit
+            # executable instead of compiling a second (1, L, N)-shaped
+            # tree graph (~40 s of XLA compile, docs/design.md §9)
+            return [self._commit_rows(codewords[0])]
         if use_device_commit(codewords.shape[-1]):
             # ONE dispatch for all R trees + ONE root fetch
             return device_commit_paired_many(codewords)
@@ -280,6 +285,12 @@ class FastStark(StarkParams):
         t = self._interp_tables()
         M = self.omicron_domain_length
         N = self.fri_domain_length
+        if columns.ndim == 3 and columns.shape[0] == 1:
+            # single-register workloads: drop the R=1 axis so the NTT/LDE
+            # executables are SHARED with the unbatched randomizer path —
+            # each distinct staged-NTT shape costs 60-90 s of XLA compile
+            # cold (docs/design.md §9)
+            return self._trace_lde(columns[0])[None]
         c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
         c = NTT._pad_coeffs(c, M)                               # zeros beyond n
         c = self._place_codeword(c)

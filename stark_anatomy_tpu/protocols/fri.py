@@ -20,6 +20,7 @@ bytes use a fixed-width encoding, and colinearity accepts degree <= 1.
 
 from __future__ import annotations
 
+import functools
 from hashlib import blake2b
 from typing import List, Optional, Tuple
 
@@ -65,19 +66,38 @@ def _square_half(u):
     return F.mont_mul(u[..., :half], u[..., :half])
 
 
-@jax.jit
-def _fold_commit_kernel(codeword, u, alpha, two_inv):
-    """Fold + commit the FOLDED codeword in ONE executable: returns
-    (folded, squared-half u, canonical folded, flat Merkle levels).
-    Each separate call through the device tunnel costs ~25 ms of
-    dispatch latency; one fused call per FRI round + one root fetch is
-    the round's entire device traffic."""
-    from ..commit.device_merkle import _commit_paired_core
+@functools.partial(jax.jit, static_argnames=("W",))
+def _fold_commit_padded(cw, u, alpha, two_inv, half, W: int):
+    """Fold + commit the FOLDED codeword in ONE executable, over a
+    FIXED-width buffer with a dynamic logical length.
 
-    folded = _fold_kernel(codeword, u, alpha, two_inv)
-    canon, flat = _commit_paired_core(folded)
-    half = u.shape[-1] // 2
-    return folded, F.mont_mul(u[..., :half], u[..., :half]), canon, flat
+    cw: (L, 2W) with the true codeword (length 2*half) in its prefix;
+    u: (L, W) inverse-domain table, valid prefix half.  Returns
+    (next cw buffer (L, 2W), squared u, canonical folded codeword
+    (L, W), padded flat Merkle levels (L, W-1)) — tail lanes beyond the
+    valid prefixes are garbage the host never reads.
+
+    Why padded: a per-round exactly-shaped kernel costs ~20-30 s of XLA
+    compile PER ROUND cold (seven shapes at a 2^22 domain ~= 190 s,
+    measured round 5 — docs/design.md §9).  Rounds are grouped into
+    shape families (Fri._family_width, 3 halvings per family) so ~7
+    round shapes collapse to 3 executables, and the top round — which
+    dominates the arithmetic — runs unpadded.  Each separate call
+    through the device tunnel also costs ~25 ms of dispatch latency;
+    one fused call per round + one 32-byte root fetch is the round's
+    entire device traffic."""
+    from ..commit.device_merkle import _commit_paired_dynamic
+
+    h = half.astype(jnp.int32)
+    a = cw[..., :W]
+    b = jax.lax.dynamic_slice_in_dim(cw, h, W, axis=-1)
+    s = F.add(a, b)
+    d = F.mont_mul(F.mont_mul(alpha, u), F.sub(a, b))
+    folded = F.mont_mul(two_inv, F.add(s, d))            # valid prefix half
+    canon, flat = _commit_paired_dynamic(folded, half)
+    u2 = F.mont_mul(u, u)                                 # valid prefix half
+    cw_next = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=-1)
+    return cw_next, u2, canon, flat
 
 
 class Fri:
@@ -175,7 +195,17 @@ class Fri:
             half = self.domain_length // 2
             omega_inv = pow(self.omega, P - 2, P)
             offset_inv = pow(self.offset, P - 2, P)
-            tab = power_table(omega_inv, half)
+            from ..ops.domain import DOMAINS
+
+            if self.omega == self.field.primitive_nth_root(
+                self.domain_length
+            ).value:
+                # canonical root: one gather from the master table instead
+                # of a fresh half-size power-table build (executable-count
+                # collapse, docs/design.md §9)
+                tab = DOMAINS.master_powers(-1, half, order=self.domain_length)
+            else:
+                tab = power_table(omega_inv, half)
             self._u0 = F.mont_mul(tab, mont_const(offset_inv))
         return self._u0
 
@@ -184,6 +214,16 @@ class Fri:
     # ints (tens of ms total), while every further device round would pay
     # a dispatch + root fetch (~50 ms) and two query gathers
     HOST_TAIL_MAX = 1 << 14
+
+    def _family_width(self, half: int) -> int:
+        """Fixed buffer width serving fold rounds in groups of three
+        halvings: half sizes {top, top/2, top/4} share the executable at
+        W = top, {top/8, ...} the one at W = top/8, and so on — the pad
+        overhead is bounded at 4x on the CHEAPER rounds while the top
+        round (the bulk of the arithmetic) runs exactly-sized."""
+        top = self.domain_length // 2
+        k = (top // half).bit_length() - 1
+        return top >> (k - k % 3)
 
     # -- prover --------------------------------------------------------------
     def commit(self, codeword: jnp.ndarray, proof_stream: ProofStream):
@@ -195,7 +235,8 @@ class Fri:
         the current codeword, draw the challenge, fold.  The last layer is
         committed AND sent in the clear.  On the device path, each round's
         fold + leaf hashing + every tree level run as ONE executable
-        (_fold_commit_kernel) and only the 32-byte root crosses to the
+        (_fold_commit_padded, shared across rounds in shape families) and
+        only the 32-byte root crosses to the
         host; small tail rounds run entirely host-side.
 
         Commitments use PAIRED leaves — leaf i covers (c[i], c[i+n/2]), the
@@ -233,10 +274,19 @@ class Fri:
 
             if host_ints is None and (not fused or half > self.HOST_TAIL_MAX):
                 if fused:
-                    codeword, u, canon, flat = _fold_commit_kernel(
-                        codeword, u, mont_const(alpha), two_inv
+                    W = self._family_width(half)
+                    if codeword.shape[-1] > 2 * W:
+                        # family boundary: shrink the buffers to the new
+                        # width (static prefix slices — the valid data
+                        # always lives in the prefix)
+                        codeword = codeword[..., : 2 * W]
+                        u = u[..., :W]
+                    codeword, u, canon, flat = _fold_commit_padded(
+                        codeword, u, mont_const(alpha), two_inv,
+                        jnp.uint32(half), W=W,
                     )
-                    rows, tree = DeviceRows(canon), DeviceMerkleTree(flat=flat)
+                    rows = DeviceRows(canon, length=half)
+                    tree = DeviceMerkleTree(flat=flat, n_leaves=half // 2)
                 else:
                     codeword = _fold_kernel(codeword, u, mont_const(alpha), two_inv)
                     u = _square_half(u)

@@ -102,3 +102,33 @@ def test_fri_host_prover_byte_identical():
 
     vs = ProofStream.deserialize(ps_host.serialize())
     assert fri.verify(vs, [])
+
+
+def test_fri_fused_padded_rounds_byte_identical(monkeypatch):
+    """The shape-family fused fold+commit path (fixed-width padded
+    buffers, dynamic logical length — protocols/fri.py:_fold_commit_padded)
+    must produce a transcript BYTE-IDENTICAL to the host fold path,
+    including across a family-width boundary."""
+    n, expansion, tests = 512, 4, 2
+    degree = n // expansion - 1
+    coeffs = [RNG.randrange(P) for _ in range(degree + 1)]
+
+    transcripts = {}
+    for mode in ("host", "fused"):
+        fri = make_fri(n, expansion, tests)
+        if mode == "fused":
+            monkeypatch.setenv("STARK_TPU_DEVICE_HASH", "1")
+            # force the device/fused path down to tiny layer sizes so the
+            # padded kernel runs several rounds INCLUDING a family switch
+            monkeypatch.setattr(Fri, "HOST_TAIL_MAX", 8)
+        else:
+            monkeypatch.setenv("STARK_TPU_DEVICE_HASH", "0")
+        # family widths at n=512: halves 256,128,64 share W=256; 32,16
+        # share W=32 (Fri._family_width)
+        codeword = D.coset_evaluate(device_from_ints(coeffs), fri.offset, n)
+        ps = ProofStream()
+        fri.prove(codeword, ps)
+        transcripts[mode] = ps.serialize()
+        vs = ProofStream.deserialize(transcripts[mode])
+        assert fri.verify(vs, [])
+    assert transcripts["host"] == transcripts["fused"]
