@@ -278,6 +278,35 @@ def seg_mimc():
         f"mimc phase-min sum {sum(min(v) for v in per_phase.values()):.2f}s "
         f"vs min wall {min(walls):.2f}s (gap-free attribution)"
     )
+    return mimc, stark, tz, statistics.median(walls), per_phase
+
+
+def seg_pipeline(mimc, stark, tz, t_serial, per_phase):
+    """Sustained pipelined throughput: trace generation of proof k+1
+    (host C++ chain) overlapped with the device phases of proof k —
+    the measured core of SCALING.md's throughput argument.  >= 8
+    consecutive 2^20-class proofs."""
+    from stark_anatomy_tpu.field.scalar import Field
+    from stark_anatomy_tpu.parallel.pipeline_prover import PipelinedMiMCProver
+
+    field = Field.main()
+    K = 8
+    prover = PipelinedMiMCProver(mimc, stark, tz)
+    inputs = [field.sample(b"bench-pipe-%d" % i) for i in range(K)]
+    t0 = time.time()
+    results = prover.prove_many(inputs)
+    wall = time.time() - t0
+    ok = all(len(p) > 0 for _, p in results)
+    t_trace = statistics.median(per_phase.get("trace_gen", [0.0]))
+    per_proof = wall / K
+    hidden = t_serial - per_proof
+    eff = min(max(hidden / t_trace, 0.0), 1.0) if t_trace > 0 else 0.0
+    log(
+        f"pipelined throughput: {K} proofs in {wall:.1f}s = "
+        f"{per_proof:.2f}s/proof ({K/wall:.3f} proofs/s) vs serial "
+        f"{t_serial:.2f}s/proof; trace_gen {t_trace:.2f}s -> "
+        f"{100*eff:.0f}% of trace generation hidden ok={ok}"
+    )
 
 
 def main():
@@ -304,17 +333,30 @@ def main():
     if on_tpu and not os.environ.get("STARK_TPU_BENCH_NO_MIMC"):
         segments.append(("mimc-2^20", seg_mimc))
 
+    mimc_ctx = None
     for name, fn in segments:
         if remaining() < 60:
             log(f"SKIPPING segment {name}: {remaining():.0f}s left of "
                 f"{BUDGET_S:.0f}s budget")
             continue
         try:
-            fn()
+            out = fn()
+            if name == "mimc-2^20":
+                mimc_ctx = out
         except Exception:
             import traceback
 
             log(f"{name} bench failed:\n" + traceback.format_exc())
+
+    # pipelined throughput rides the warm MiMC context (it needs the
+    # 2^20 executables compiled, which seg_mimc just paid for)
+    if mimc_ctx is not None and remaining() > 60:
+        try:
+            seg_pipeline(*mimc_ctx)
+        except Exception:
+            import traceback
+
+            log("pipeline bench failed:\n" + traceback.format_exc())
 
     print_headline()
 

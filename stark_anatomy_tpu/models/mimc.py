@@ -130,8 +130,12 @@ class MiMC:
 
         return run(x0)
 
-    def _native_columns(self, input_value: int):
-        """C++ chain + one packed upload; None if the library is missing."""
+    def _native_columns(self, input_value: int, want_output: bool = False):
+        """C++ chain + one packed upload; None if the library is missing.
+        With ``want_output``, returns (columns, canonical output int) with
+        the output decoded from the HOST buffer — no device round trip,
+        which matters for the pipelined prover (the output fetch would
+        otherwise serialize trace generation against the device queue)."""
         from ..field.limbs import R
         from ..field.scalar import P as _P
         from ..native import get_lib
@@ -157,7 +161,22 @@ class MiMC:
         words = np.ascontiguousarray(
             buf.view("<u4").reshape(steps + 1, 4).T
         )                                                    # (4, n)
-        return _unpack_columns(jnp.asarray(words))
+        cols = _unpack_columns(jnp.asarray(words))
+        if not want_output:
+            return cols
+        out_m = int.from_bytes(buf[-16:].tobytes(), "little")
+        return cols, out_m * pow(R, _P - 2, _P) % _P
+
+    def trace_columns_with_output(self, input_value: int):
+        """(device trace columns, canonical output int) — the native path
+        decodes the output host-side; the device fallback pays one fetch."""
+        native = self._native_columns(input_value, want_output=True)
+        if native is not None:
+            return native
+        from ..utils.convert import ints_from_device
+
+        cols = self.trace_columns(input_value)
+        return cols, ints_from_device(cols[0, :, -1:])[0]
 
     def air_evaluator(self):
         """Pointwise device AIR: one constraint codeword,

@@ -366,14 +366,25 @@ def prefix_zerofier_evals(
     assert count >= 1
     D = y_tab.shape[-1]
     assert count * unit <= D, "zerofier roots must fit in the domain"
-    K = count.bit_length()
+    # scan length PADDED to a fixed grid so nearby counts share one
+    # executable: the 2^20-trace path calls this at counts T-1, n and
+    # M-n, whose bit lengths differ by one — three compiles of the same
+    # kernel (~7 s each cold) for a few wasted no-op scan steps (~2 fused
+    # multiplies each, bit=0 leaves the accumulator untouched)
+    K = max(count.bit_length(), 1)
+    K = 32 if K <= 32 else K
     consts = np.empty((K, 2, y_tab.shape[-2], 1), dtype=np.uint32)
-    shifts = np.empty((K, 2), dtype=np.int32)
-    bits = np.empty((K,), dtype=np.uint32)
+    shifts = np.zeros((K, 2), dtype=np.int32)
+    bits = np.zeros((K,), dtype=np.uint32)
     from ..field.limbs import R, int_to_limbs
     from ..field.scalar import P
 
+    one = int_to_limbs(R % P)
     for k in range(K):
+        if k >= count.bit_length():
+            consts[k, 0, :, 0] = one
+            consts[k, 1, :, 0] = one
+            continue
         s_above = count & ~((1 << (k + 1)) - 1)
         c_acc = pow(root, s_above << k, P)
         c_dbl = pow(root, 1 << (2 * k), P)

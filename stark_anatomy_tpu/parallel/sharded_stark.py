@@ -40,6 +40,10 @@ from ..protocols.fast_stark import FastStark, TransitionZerofier
 class ShardedFastStark(FastStark):
     """FastStark whose codeword axis is sharded over ``mesh``'s ``axis``."""
 
+    # the blocked-coset single-executable path is a single-device
+    # optimization; the sharded prover keeps its distributed-NTT hooks
+    blocked_lde = False
+
     def __init__(self, *args, mesh: Mesh, axis: str = "sp", **kwargs):
         super().__init__(*args, **kwargs)
         self.mesh = mesh

@@ -83,11 +83,20 @@ class FastStark(StarkParams):
     # number; tests force it low to cover the bulk branch.
     bulk_randomizer_threshold: int = 4096
 
+    # Blocked-coset LDE: express every length-N transform as E batched
+    # length-M coset transforms (M = omicron domain, N = E*M), so ONE
+    # staged-NTT executable serves the trace iNTT, the trace LDE and the
+    # randomizer LDE — each distinct staged shape costs 60-90 s of XLA
+    # compile cold (docs/design.md §9).  Explicit flag; the sharded
+    # prover turns it off and keeps its distributed-NTT hooks.
+    blocked_lde: bool = True
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._interp_cache = None
         self._bz_cache: Dict[tuple, tuple] = {}
         self._xpow_cache: Dict[int, jnp.ndarray] = {}
+        self._coset_scales_arr = None
         # per-phase wall-clock attribution; bench/tests read
         # ``self.timer.report()`` after prove (utils/profiling.py)
         from ..utils.profiling import PhaseTimer
@@ -205,6 +214,9 @@ class FastStark(StarkParams):
 
         self._interp_cache = {
             "inv_dz": inv_dz,
+            # zero-padded to the omicron domain: rides the blocked iNTT's
+            # fused pre-scale slot (mont_mul(pad(v), pad(t)) == pad(v*t))
+            "inv_dz_padded": NTT._pad_coeffs(inv_dz, M),
             "zn_over_xm": zn_over_xm,
             "x_lde": x_lde,
             "m_const": mont_const(M),
@@ -276,6 +288,105 @@ class FastStark(StarkParams):
         canon = canonical_np(codewords)                   # (R, N, L)
         return [(canon[s], self._merkle_from_canon(canon[s])) for s in range(R)]
 
+    # ------------------------------------------------------------------
+    # blocked-coset transforms (the single-executable transform path)
+    # ------------------------------------------------------------------
+    def _use_blocked(self) -> bool:
+        from ..ops.stage_ntt import staged_ok
+
+        E = self.expansion_factor
+        M = self.omicron_domain_length
+        return (
+            self.blocked_lde
+            and self.fri_domain_length == E * M
+            and staged_ok(M)
+        )
+
+    def _coset_scales(self) -> jnp.ndarray:
+        """(E, L, M) tables: scales[r][k] = (g * omega_N^r)^k.  Scaling
+        length-M coefficients by row r and NTT-ing evaluates on the r-th
+        coset of the omicron grid inside the FRI domain — the N-point LDE
+        is exactly these E batched M-point transforms interleaved."""
+        if self._coset_scales_arr is None:
+            E = self.expansion_factor
+            M = self.omicron_domain_length
+            N = self.fri_domain_length
+            from ..ops.domain import coset_table
+
+            outer = DOMAINS.master_powers_outer(1, E, M, order=N)  # (L,E,M)
+            gtab = coset_table(self.generator.value, M)            # (L,M)
+            self._coset_scales_arr = _coset_scales_build(outer, gtab)
+        return self._coset_scales_arr
+
+    def _batched_coset_ntt(
+        self, x: jnp.ndarray, scale: jnp.ndarray, inverse: bool
+    ) -> jnp.ndarray:
+        """The ONE staged executable: (E, ..., L, M) transform with a
+        fused pre-scale.  Forward and inverse calls share it (direction
+        only changes table VALUES, not the traced graph)."""
+        from ..ops.stage_ntt import staged_ntt
+
+        return staged_ntt(x, inverse=inverse, scale_pre=scale)
+
+    def _intt_blocked(self, padded: jnp.ndarray, pre_scale: jnp.ndarray):
+        """iNTT of (..., L, M) through the batched executable: the input
+        is broadcast across the E batch slots (3 wasted transforms,
+        ~10 ms) so the SHAPE matches the coset-LDE call and no second
+        60-90 s staged compile exists.  ``pre_scale`` rides the fused
+        scale slot (the interpolation path feeds 1/Z' here)."""
+        E = self.expansion_factor
+        x = jnp.broadcast_to(padded[None], (E,) + padded.shape)
+        s = jnp.broadcast_to(pre_scale[None], (E,) + padded.shape)
+        return self._batched_coset_ntt(x, s, inverse=True)[0]
+
+    def _lde_blocked_single(self, a: jnp.ndarray) -> jnp.ndarray:
+        """(..., L, M) coefficients -> (E, ..., L, M) per-coset
+        evaluations (interleave with _interleave_cosets for the (..., L, N)
+        codeword)."""
+        E = self.expansion_factor
+        scales = self._coset_scales()
+        x = jnp.broadcast_to(a[None], (E,) + a.shape)
+        if a.ndim > 2:
+            scales = scales.reshape(
+                (E,) + (1,) * (a.ndim - 2) + scales.shape[1:]
+            )
+        s = jnp.broadcast_to(scales, x.shape)
+        return self._batched_coset_ntt(x, s, inverse=False)
+
+    def _lde_blocked_poly(self, coeffs: jnp.ndarray) -> jnp.ndarray:
+        """(L, K) coefficients (K <= N) -> (L, N) codeword via B = ceil(K/M)
+        block transforms through the shared executable:
+        f = sum_b x^(bM) f_b, and on the FRI coset x^(bM) depends only on
+        the coset index r — a SCALAR per (b, r), so blocks combine with
+        one weighted sum before interleaving."""
+        E = self.expansion_factor
+        M = self.omicron_domain_length
+        N = self.fri_domain_length
+        K = coeffs.shape[-1]
+        B = -(-K // M)
+        assert B * M <= N
+        padded = NTT._pad_coeffs(coeffs, B * M)
+        blocks = jnp.moveaxis(
+            padded.reshape(padded.shape[:-1] + (B, M)), -2, 0
+        )                                                       # (B, L, M)
+        parts = jnp.stack(
+            [self._lde_blocked_single(blocks[b]) for b in range(B)]
+        )                                                       # (B, E, L, M)
+        if B == 1:
+            return _interleave_cosets(parts[0])
+        g = self.generator.value
+        w = self.omega.value
+        consts = np.empty((B, E, parts.shape[-2], 1), dtype=np.uint32)
+        from ..field.limbs import R as _R, int_to_limbs
+
+        for b in range(B):
+            for r in range(E):
+                v = pow(g, M * b, P) * pow(w, r * M * b, P) % P
+                consts[b, r, :, 0] = int_to_limbs(v * _R % P)
+        return _interleave_cosets(
+            _combine_blocks(parts, jnp.asarray(consts))
+        )
+
     def _trace_lde(self, columns: jnp.ndarray) -> jnp.ndarray:
         """(..., R, L, n) trace columns -> (..., R, L, N_fri) LDE.
 
@@ -291,6 +402,17 @@ class FastStark(StarkParams):
             # each distinct staged-NTT shape costs 60-90 s of XLA compile
             # cold (docs/design.md §9)
             return self._trace_lde(columns[0])[None]
+        if self._use_blocked():
+            # 1/Z'(w^i) rides the iNTT's fused pre-scale slot
+            padded = NTT._pad_coeffs(columns, M)
+            inv_dz_padded = t["inv_dz_padded"]
+            if padded.ndim > 2:
+                inv_dz_padded = jnp.broadcast_to(inv_dz_padded, padded.shape)
+            e = self._intt_blocked(padded, inv_dz_padded)
+            a = jnp.roll(e, -1, axis=-1)                        # A = M * rot(e)
+            a = F.mont_mul(a, t["m_const"])
+            a_lde = _interleave_cosets(self._lde_blocked_single(a))
+            return F.mont_mul(a_lde, t["zn_over_xm"])
         c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
         c = NTT._pad_coeffs(c, M)                               # zeros beyond n
         c = self._place_codeword(c)
@@ -467,7 +589,10 @@ class FastStark(StarkParams):
                     for _ in range(max_degree + 1)
                 ]
                 rand_poly_dev = device_from_ints(rand_coeffs)
-            rand_lde = self._lde(rand_poly_dev, self.generator.value, N)
+            if self._use_blocked():
+                rand_lde = self._lde_blocked_poly(rand_poly_dev)
+            else:
+                rand_lde = self._lde(rand_poly_dev, self.generator.value, N)
             _sync(rand_lde)
         with self.timer.phase("commit_randomizer"):
             rand_rows, rand_tree = self._commit_rows(rand_lde)
@@ -805,6 +930,28 @@ def _verify_core(vals, bz, ip, weights, idx, air_index_evaluator, R, K, tq_sh, b
         terms.append(bq_cur[s])
         terms.append(F.mont_mul(bq_cur[s], F.mont_pow(x_cur, e)))
     return F.weighted_sum(jnp.stack(terms), weights[:, None] if weights.ndim == 2 else weights)
+
+
+@jax.jit
+def _coset_scales_build(outer: jnp.ndarray, gtab: jnp.ndarray) -> jnp.ndarray:
+    """(L, E, M) omega_N^(r*k) outer gather x (L, M) g^k -> (E, L, M)."""
+    return F.mont_mul(jnp.moveaxis(outer, 0, 1), gtab)
+
+
+@jax.jit
+def _interleave_cosets(x: jnp.ndarray) -> jnp.ndarray:
+    """(E, ..., L, M) per-coset evaluations -> (..., L, E*M) natural-order
+    codeword: FRI-domain index j = r + E*i holds coset r, position i."""
+    E, M = x.shape[0], x.shape[-1]
+    y = jnp.moveaxis(x, 0, -1)                       # (..., L, M, E)
+    return y.reshape(y.shape[:-2] + (M * E,))
+
+
+@jax.jit
+def _combine_blocks(parts: jnp.ndarray, consts: jnp.ndarray) -> jnp.ndarray:
+    """(B, E, L, M) block evaluations, (B, E, L, 1) scalars x^(bM)|coset r
+    -> (E, L, M) weighted sum (the blocked-poly LDE recombination)."""
+    return F.field_sum(F.mont_mul(parts, consts))
 
 
 @jax.jit

@@ -185,3 +185,73 @@ def test_bulk_randomizer_branch():
     out, proof, tz = prove_chain(mimc, stark, x)
     assert verify_chain(mimc, stark, x, out, proof, tz.root)
     assert not verify_chain(mimc, stark, x, out + FIELD.one(), proof, tz.root)
+
+
+def test_blocked_coset_lde_byte_identical(monkeypatch):
+    """The blocked-coset transform path (one staged executable: batched
+    per-coset M-point NTTs + scalar block recombination) must produce
+    proofs BYTE-IDENTICAL to the hook-based N-point transform path."""
+    import hashlib
+
+    from stark_anatomy_tpu.models.mimc import make_stark, verify_chain
+    from stark_anatomy_tpu.ops import stage_ntt
+
+    def det_urandom(seed: bytes):
+        state = {"ctr": 0}
+
+        def rand(n: int) -> bytes:
+            out = b""
+            while len(out) < n:
+                out += hashlib.blake2b(
+                    seed + state["ctr"].to_bytes(8, "big")
+                ).digest()
+                state["ctr"] += 1
+            return out[:n]
+
+        return rand
+
+    # let the staged path engage at tiny sizes on CPU so the blocked
+    # branch actually runs (default CPU crossover is 2^13)
+    monkeypatch.setattr(stage_ntt, "MIN_STAGED_CPU", 8)
+    x = FieldElement(random.Random(7).randrange(P), Field.main())
+    proofs = {}
+    for blocked in (False, True):
+        mimc, stark = make_stark(15, 4, 4, 8)
+        stark.blocked_lde = blocked
+        if blocked:
+            assert stark._use_blocked()
+        tz = stark.preprocess()
+        cols = mimc.trace_columns(x.value)
+        out = mimc.forward(x)
+        proof = stark.prove(
+            None,
+            mimc.transition_constraints(),
+            mimc.boundary_constraints(x, out),
+            tz,
+            air_evaluator=mimc.air_evaluator(),
+            trace_columns=cols,
+            urandom=det_urandom(b"blocked-vs-hook"),
+        )
+        assert verify_chain(mimc, stark, x, out, proof, tz.root)
+        proofs[blocked] = proof
+    assert proofs[False] == proofs[True], "proof bytes differ across LDE paths"
+
+
+def test_blocked_poly_lde_matches_coset_evaluate(monkeypatch):
+    """_lde_blocked_poly (multi-block recombination) == coset_evaluate
+    for coefficient counts spanning 1..E blocks."""
+    from stark_anatomy_tpu.models.mimc import make_stark
+    from stark_anatomy_tpu.ops import ntt as NTT
+    from stark_anatomy_tpu.ops import stage_ntt
+
+    monkeypatch.setattr(stage_ntt, "MIN_STAGED_CPU", 8)
+    rng = random.Random(21)
+    _, stark = make_stark(15, 4, 4, 8)
+    assert stark._use_blocked()
+    N = stark.fri_domain_length
+    M = stark.omicron_domain_length
+    for K in (5, M, M + 3, 2 * M, N):
+        coeffs = device_from_ints([rng.randrange(P) for _ in range(K)])
+        got = stark._lde_blocked_poly(coeffs)
+        want = NTT.coset_evaluate(coeffs, stark.generator.value, N)
+        assert ints_from_device(got) == ints_from_device(want), f"K={K}"
