@@ -329,14 +329,17 @@ class DeviceMerkleTree:
 
 
 class DeviceRows:
-    """Opening-value accessor over a DEVICE canonical codeword (8, n):
-    queried values are gathered on device and converted host-side —
-    the bulk codeword never transfers."""
+    """Opening-value accessor over a DEVICE canonical codeword stored as
+    PACKED little-endian u32 words (4, n) — 16 bytes/element, the exact
+    information content (the sparse (8, n) 16-bit-limb layout pinned 2x
+    the HBM: 512 MB extra per retained codeword at a 2^24 domain).
+    Queried values are gathered on device and decoded host-side — the
+    bulk codeword never transfers."""
 
     __slots__ = ("canon", "_length")
 
     def __init__(self, canon: jnp.ndarray, length: int = None):
-        self.canon = canon                                  # (8, n) canonical
+        self.canon = canon                           # (4, n) packed LE words
         # logical length: the padded-buffer FRI kernel produces canon
         # arrays whose tail lanes are pad garbage the protocol never reads
         self._length = canon.shape[-1] if length is None else length
@@ -350,16 +353,15 @@ class DeviceRows:
 
     def gather(self, indices) -> List[int]:
         """Canonical ints at ``indices`` (one device gather)."""
-        cols = _take_padded(self.canon, list(indices))      # (8, k)
-        le = np.ascontiguousarray(cols.T).astype("<u2")     # (k, 8) u16
+        cols = _take_padded(self.canon, list(indices))      # (4, k)
+        le = np.ascontiguousarray(cols.T).astype("<u4")     # (k, 4) u32
         return [
             int.from_bytes(le[j].tobytes(), "little") for j in range(le.shape[0])
         ]
 
     def __getitem__(self, i: int):
-        # single-row fallback (slow path; bulk callers use gather)
-        cols = np.asarray(jax.device_get(self.canon[:, i]))
-        return cols
+        # single-element fallback (slow path; bulk callers use gather)
+        return self.gather([i])[0]
 
 
 # below this many codeword elements the host path wins: device commitment
@@ -401,8 +403,8 @@ def use_device_commit(n: Optional[int] = None) -> bool:
 
 @jax.jit
 def _commit_paired_core(codeword_mont: jnp.ndarray):
-    """(..., 8, n) Montgomery -> (canonical (..., 8, n), flat tree
-    (..., 8, n-1... 2*(n/2)-1)) in ONE executable (supports batch axes)."""
+    """(..., 8, n) Montgomery -> (PACKED canonical words (..., 4, n), flat
+    tree) in ONE executable (supports batch axes)."""
     from ..field import ops as F
 
     canon = F.from_mont(codeword_mont)
@@ -416,7 +418,7 @@ def _commit_paired_core(codeword_mont: jnp.ndarray):
         + [zero] * 8
     )
     leaves = jnp.stack(_compress_words(m, 32), axis=-2)
-    return canon, _flat_tree_core(leaves)
+    return w, _flat_tree_core(leaves)
 
 
 def _commit_paired_dynamic(codeword_mont: jnp.ndarray, half: jnp.ndarray):
@@ -441,7 +443,7 @@ def _commit_paired_dynamic(codeword_mont: jnp.ndarray, half: jnp.ndarray):
         + [zero] * 8
     )
     leaves = jnp.stack(_compress_words(m, 32), axis=-2)
-    return canon, _flat_tree_core(leaves)
+    return w, _flat_tree_core(leaves)
 
 
 def device_commit_paired(codeword_mont: jnp.ndarray):

@@ -180,16 +180,20 @@ class MiMC:
 
     def air_evaluator(self):
         """Pointwise device AIR: one constraint codeword,
-        next - cur^3 - c."""
-        c = mont_const(self.c.value)
+        next - cur^3 - c.  Cached on the instance: the prover's fused
+        AIR-quotient executable is keyed by evaluator identity, so a
+        fresh closure per call would retrace it every proof."""
+        if getattr(self, "_air_eval", None) is None:
+            c = mont_const(self.c.value)
 
-        def evaluator(x_lde, current, next_):
-            cur = current[..., 0, :, :]
-            nxt = next_[..., 0, :, :]
-            cur3 = F.mont_mul(F.mont_mul(cur, cur), cur)
-            return jnp.expand_dims(F.sub(F.sub(nxt, cur3), c), axis=-3)
+            def evaluator(x_lde, current, next_):
+                cur = current[..., 0, :, :]
+                nxt = next_[..., 0, :, :]
+                cur3 = F.mont_mul(F.mont_mul(cur, cur), cur)
+                return jnp.expand_dims(F.sub(F.sub(nxt, cur3), c), axis=-3)
 
-        return evaluator
+            self._air_eval = evaluator
+        return self._air_eval
 
     def point_air(self):
         """Scalar per-point AIR for the verifier."""

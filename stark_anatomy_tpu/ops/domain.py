@@ -215,6 +215,10 @@ class DomainCache:
             order = m
         e = step_exp * (m // order) % m
         with _concrete_ctx():
+            if e == 1:
+                # identity stride: the master IS the table (a gather here
+                # would duplicate the full 512 MB table at a 2^24 domain)
+                return tab if length == m else tab[..., :length]
             return _master_gather(tab, jnp.uint32(e), length)
 
     def master_powers_outer(

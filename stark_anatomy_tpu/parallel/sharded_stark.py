@@ -179,7 +179,8 @@ class ShardedFastStark(FastStark):
         tz = transition_zerofier
         if not getattr(tz, "_sharded_for", None) is self.mesh:
             tz.inv_codeword = self._shard_last(tz.inv_codeword)
-            tz.codeword = self._shard_last(tz.codeword)
+            if tz.codeword is not None:
+                tz.codeword = self._shard_last(tz.codeword)
             tz._sharded_for = self.mesh
         # FRI inverse-domain table: sharded so folds stay shard-local;
         # FRI layer commitments shard-local end-to-end (no full gather)

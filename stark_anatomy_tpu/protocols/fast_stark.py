@@ -132,7 +132,10 @@ class FastStark(StarkParams):
             )
         rows, tree = self._commit_rows(codeword)
         inv_codeword = F.batch_inv(codeword)
-        return TransitionZerofier(codeword, rows, inv_codeword, tree)
+        # the raw codeword is NOT retained: the prover divides through
+        # inv_codeword and opens through rows/tree — keeping it would pin
+        # an extra 512 MB of HBM at a 2^24 domain
+        return TransitionZerofier(None, rows, inv_codeword, tree)
 
     def _x_lde(self) -> jnp.ndarray:
         """Cached FRI-domain codeword of x itself: g * omega_N^j."""
@@ -288,6 +291,21 @@ class FastStark(StarkParams):
         canon = canonical_np(codewords)                   # (R, N, L)
         return [(canon[s], self._merkle_from_canon(canon[s])) for s in range(R)]
 
+    def _compiled_air(self, transition_constraints) -> "callable":
+        """Generic pointwise AIR evaluator, cached by CONSTRAINT CONTENT:
+        the fused quotient executable is keyed on evaluator identity, so a
+        fresh compile_air closure per prove would retrace it every proof."""
+        key = tuple(
+            tuple(sorted((k, c.value) for k, c in tc.dictionary.items()))
+            for tc in transition_constraints
+        )
+        cache = getattr(self, "_air_fn_cache", None)
+        if cache is None:
+            cache = self._air_fn_cache = {}
+        if key not in cache:
+            cache[key] = compile_air(transition_constraints)
+        return cache[key]
+
     # ------------------------------------------------------------------
     # blocked-coset transforms (the single-executable transform path)
     # ------------------------------------------------------------------
@@ -318,40 +336,49 @@ class FastStark(StarkParams):
             self._coset_scales_arr = _coset_scales_build(outer, gtab)
         return self._coset_scales_arr
 
-    def _batched_coset_ntt(
+    def _coset_ntt(
         self, x: jnp.ndarray, scale: jnp.ndarray, inverse: bool
     ) -> jnp.ndarray:
-        """The ONE staged executable: (E, ..., L, M) transform with a
+        """The ONE staged executable: a (..., L, M) transform with a
         fused pre-scale.  Forward and inverse calls share it (direction
-        only changes table VALUES, not the traced graph)."""
+        only changes table VALUES, not the traced graph).  Cosets are
+        dispatched SEQUENTIALLY rather than as an (E, L, M) batch: the
+        staged transform's internal working set is ~20x its data size,
+        and the batched form peaked past the chip's HBM at a 2^24 FRI
+        domain (measured round 5); dispatches are async, so E small
+        launches pipeline on device at no wall-clock cost."""
         from ..ops.stage_ntt import staged_ntt
 
+        if scale.shape != x.shape:
+            scale = jnp.broadcast_to(scale, x.shape)
         return staged_ntt(x, inverse=inverse, scale_pre=scale)
 
     def _intt_blocked(self, padded: jnp.ndarray, pre_scale: jnp.ndarray):
-        """iNTT of (..., L, M) through the batched executable: the input
-        is broadcast across the E batch slots (3 wasted transforms,
-        ~10 ms) so the SHAPE matches the coset-LDE call and no second
-        60-90 s staged compile exists.  ``pre_scale`` rides the fused
-        scale slot (the interpolation path feeds 1/Z' here)."""
-        E = self.expansion_factor
-        x = jnp.broadcast_to(padded[None], (E,) + padded.shape)
-        s = jnp.broadcast_to(pre_scale[None], (E,) + padded.shape)
-        return self._batched_coset_ntt(x, s, inverse=True)[0]
+        """iNTT of (..., L, M) through the shared executable;
+        ``pre_scale`` rides the fused scale slot (the interpolation path
+        feeds 1/Z' here)."""
+        return self._coset_ntt(padded, pre_scale, inverse=True)
 
     def _lde_blocked_single(self, a: jnp.ndarray) -> jnp.ndarray:
         """(..., L, M) coefficients -> (E, ..., L, M) per-coset
         evaluations (interleave with _interleave_cosets for the (..., L, N)
-        codeword)."""
+        codeword).
+
+        At most TWO transforms are left in flight before a cheap device
+        sync: the staged kernel's working set is ~20x its data (~2.5 GB
+        at M = 2^22), and async dispatches allocate their buffers at
+        enqueue — four unthrottled launches peaked past the chip's HBM
+        next to the prover's ~7 GB of resident tables (measured round 5)."""
         E = self.expansion_factor
         scales = self._coset_scales()
-        x = jnp.broadcast_to(a[None], (E,) + a.shape)
-        if a.ndim > 2:
-            scales = scales.reshape(
-                (E,) + (1,) * (a.ndim - 2) + scales.shape[1:]
-            )
-        s = jnp.broadcast_to(scales, x.shape)
-        return self._batched_coset_ntt(x, s, inverse=False)
+        outs = []
+        for r in range(E):
+            outs.append(self._coset_ntt(a, scales[r], inverse=False))
+            # ONE transform in flight: each sync costs ~25 ms of tunnel
+            # latency, but two concurrent working sets next to the
+            # prover's ~7 GB of resident tables scraped the HBM ceiling
+            _throttle(outs[-1])
+        return jnp.stack(outs)
 
     def _lde_blocked_poly(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """(L, K) coefficients (K <= N) -> (L, N) codeword via B = ceil(K/M)
@@ -366,14 +393,16 @@ class FastStark(StarkParams):
         B = -(-K // M)
         assert B * M <= N
         padded = NTT._pad_coeffs(coeffs, B * M)
+        if B == 1:
+            # no recombination — and no (B, E, L, M) stack copy, which at
+            # a 2^24 domain is 512 MB of transient HBM
+            return _interleave_cosets(self._lde_blocked_single(padded))
         blocks = jnp.moveaxis(
             padded.reshape(padded.shape[:-1] + (B, M)), -2, 0
         )                                                       # (B, L, M)
         parts = jnp.stack(
             [self._lde_blocked_single(blocks[b]) for b in range(B)]
         )                                                       # (B, E, L, M)
-        if B == 1:
-            return _interleave_cosets(parts[0])
         g = self.generator.value
         w = self.omega.value
         consts = np.empty((B, E, parts.shape[-2], 1), dtype=np.uint32)
@@ -451,26 +480,39 @@ class FastStark(StarkParams):
 
     def _boundary_tables(self, boundary: Boundary):
         """FRI-domain codewords of the boundary zerofiers (inverted) and
-        interpolants, cached by boundary structure/values."""
+        interpolants, cached by boundary structure/values.  All registers'
+        Horner scans + the batched inversion run as ONE executable
+        (_boundary_tables_core) — the per-register eager loop compiled
+        ~2R+1 executables (~12 s cold at a 2^22 domain)."""
         key = tuple(sorted((c, r, v.value) for c, r, v in boundary))
         if key in self._bz_cache:
             return self._bz_cache[key]
+        # boundaries differ per statement, and each entry pins ~1 GB of
+        # HBM at a 2^24 domain — cap the cache so streaming many proofs
+        # (the pipelined prover) cannot exhaust device memory
+        while len(self._bz_cache) >= 2:
+            self._bz_cache.pop(next(iter(self._bz_cache)))
         t = self._interp_tables()
         zerofiers = self.boundary_zerofiers(boundary)
         interpolants = self.boundary_interpolants(boundary)
-        inv_bz = []
-        interp = []
-        for s in range(self.num_registers):
-            bz_coeffs = device_from_ints([c.value for c in zerofiers[s].coefficients])
-            bz_lde = NTT.evaluate_domain_horner(bz_coeffs, t["x_lde"])
-            inv_bz.append(F.batch_inv(bz_lde))
-            ip_coeffs = [c.value for c in interpolants[s].coefficients]
-            if not ip_coeffs:
-                ip_coeffs = [0]
-            interp.append(
-                NTT.evaluate_domain_horner(device_from_ints(ip_coeffs), t["x_lde"])
-            )
-        out = (jnp.stack(inv_bz), jnp.stack(interp))
+
+        def stack_coeffs(polys):
+            deg = max(max(len(p.coefficients) for p in polys), 1)
+            return jnp.stack(
+                [
+                    NTT._pad_coeffs(
+                        device_from_ints(
+                            [c.value for c in p.coefficients] or [0]
+                        ),
+                        deg,
+                    )
+                    for p in polys
+                ]
+            )                                               # (R, L, deg)
+
+        out = _boundary_tables_core(
+            stack_coeffs(zerofiers), stack_coeffs(interpolants), t["x_lde"]
+        )
         self._bz_cache[key] = out
         return out
 
@@ -540,19 +582,17 @@ class FastStark(StarkParams):
             leaf = _jax.tree_util.tree_leaves(arr)[0]
             np.asarray(_jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
 
-        # trace LDE + shifted-by-one-cycle LDE (omicron = omega^expansion,
-        # so trace(omicron * x) is a roll of the codeword)
+        # trace LDE; the one-cycle shift (omicron = omega^expansion, so
+        # trace(omicron * x) is a roll of the codeword) happens INSIDE the
+        # fused AIR-quotient executable
         with self.timer.phase("trace_lde"):
             trace_lde = self._trace_lde(columns)                 # (R, L, N)
-            next_lde = jnp.roll(trace_lde, -self.expansion_factor, axis=-1)
             _sync(trace_lde)
 
         # boundary quotients, committed
-        from ..utils.convert import int_from_row
-
         with self.timer.phase("boundary_quotients"):
             inv_bz, interp = self._boundary_tables(boundary)
-            bq_lde = F.mont_mul(F.sub(trace_lde, interp), inv_bz)  # (R, L, N)
+            bq_lde = _bq_core(trace_lde, interp, inv_bz)         # (R, L, N)
             _sync(bq_lde)
         with self.timer.phase("commit_bq"):
             bq_trees: List[MerkleTree] = []
@@ -562,16 +602,34 @@ class FastStark(StarkParams):
                 bq_trees.append(tree)
                 proof_stream.push(tree.root)
 
-        # transition quotients: pointwise AIR / zerofier
+        # transition quotients: pointwise AIR / zerofier, one executable
+        # (models cache their evaluator so the jit wrapper keyed on it
+        # never retraces across proofs)
         with self.timer.phase("air_quotients"):
             if air_evaluator is None:
-                air_evaluator = compile_air(transition_constraints)
-            constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)
-            tq_lde = F.mont_mul(constraint_lde, transition_zerofier.inv_codeword)
+                # generic symbolic fallback: keep it EAGER — its per-term
+                # Python add/mul chains are fusion-hostile inside one
+                # executable (XLA recomputes producers per consumer; see
+                # field/ops.py field_sum note).  Models on the hot path
+                # supply a cached evaluator and take the fused branch.
+                air_evaluator = self._compiled_air(transition_constraints)
+                next_lde = jnp.roll(
+                    trace_lde, -self.expansion_factor, axis=-1
+                )
+                constraint_lde = air_evaluator(t["x_lde"], trace_lde, next_lde)
+                tq_lde = F.mont_mul(
+                    constraint_lde, transition_zerofier.inv_codeword
+                )
+                del constraint_lde, next_lde
+            else:
+                air_q = _air_quotient_fn(air_evaluator, self.expansion_factor)
+                tq_lde = air_q(
+                    t["x_lde"], trace_lde, transition_zerofier.inv_codeword
+                )
             # at N = 2^24 each full codeword is 512 MB of HBM: release the
-            # trace LDEs and raw constraint codewords as soon as the
-            # quotients exist (nothing downstream reads them)
-            del constraint_lde, trace_lde, next_lde
+            # trace LDE as soon as the quotients exist (nothing downstream
+            # reads it)
+            del trace_lde
             _sync(tq_lde)
 
         # randomizer polynomial
@@ -932,6 +990,48 @@ def _verify_core(vals, bz, ip, weights, idx, air_index_evaluator, R, K, tq_sh, b
     return F.weighted_sum(jnp.stack(terms), weights[:, None] if weights.ndim == 2 else weights)
 
 
+def _throttle(arr: jnp.ndarray) -> None:
+    """Force completion of the queued device work (a 1-element fetch —
+    block_until_ready does not synchronize through the axon tunnel).
+    Used to bound how many big-working-set executables are in flight."""
+    np.asarray(jax.device_get(arr[(slice(0, 1),) * arr.ndim]))
+
+
+@jax.jit
+def _boundary_tables_core(bz: jnp.ndarray, ip: jnp.ndarray, x_lde: jnp.ndarray):
+    """(R, L, D) boundary zerofier/interpolant coefficients -> their
+    (R, L, N) FRI-domain codewords (zerofiers inverted), one executable."""
+    pts = jnp.broadcast_to(x_lde, (bz.shape[0],) + x_lde.shape)
+    return (
+        F.batch_inv(NTT.evaluate_domain_horner(bz, pts)),
+        NTT.evaluate_domain_horner(ip, pts),
+    )
+
+
+@jax.jit
+def _bq_core(trace_lde, interp, inv_bz):
+    """Boundary quotients: (trace - interpolant) / zerofier, pointwise."""
+    return F.mont_mul(F.sub(trace_lde, interp), inv_bz)
+
+
+@functools.lru_cache(maxsize=None)
+def _air_quotient_fn(air_evaluator, expansion_factor: int):
+    """Fused AIR-quotient executable for a given (cached) model
+    evaluator: shifts the trace by one cycle (a roll by the expansion
+    factor), evaluates the constraints pointwise and divides by the
+    transition zerofier — one executable instead of the eager chain
+    (roll + per-constraint ops + quotient multiply, ~5 compiles and as
+    many dispatch latencies)."""
+
+    @jax.jit
+    def fn(x_lde, trace_lde, inv_tz):
+        next_lde = jnp.roll(trace_lde, -expansion_factor, axis=-1)
+        constraint_lde = air_evaluator(x_lde, trace_lde, next_lde)
+        return F.mont_mul(constraint_lde, inv_tz)
+
+    return fn
+
+
 @jax.jit
 def _coset_scales_build(outer: jnp.ndarray, gtab: jnp.ndarray) -> jnp.ndarray:
     """(L, E, M) omega_N^(r*k) outer gather x (L, M) g^k -> (E, L, M)."""
@@ -941,10 +1041,20 @@ def _coset_scales_build(outer: jnp.ndarray, gtab: jnp.ndarray) -> jnp.ndarray:
 @jax.jit
 def _interleave_cosets(x: jnp.ndarray) -> jnp.ndarray:
     """(E, ..., L, M) per-coset evaluations -> (..., L, E*M) natural-order
-    codeword: FRI-domain index j = r + E*i holds coset r, position i."""
-    E, M = x.shape[0], x.shape[-1]
-    y = jnp.moveaxis(x, 0, -1)                       # (..., L, M, E)
-    return y.reshape(y.shape[:-2] + (M * E,))
+    codeword: FRI-domain index j = r + E*i holds coset r, position i.
+
+    Lowered as E interior-padded dilations OR-ed together (supports are
+    disjoint): the obvious moveaxis+reshape transpose needed >6 GB of
+    XLA working set at a 2^24 domain (measured round 5 — it OOMed the
+    chip next to the prover's resident tables)."""
+    E = x.shape[0]
+    zero = jnp.zeros((), x.dtype)
+    cfg = [(0, 0, 0)] * (x.ndim - 2)
+    out = None
+    for r in range(E):
+        d = jax.lax.pad(x[r], zero, cfg + [(r, E - 1 - r, E - 1)])
+        out = d if out is None else out | d
+    return out
 
 
 @jax.jit
