@@ -159,15 +159,22 @@ def seg_batch(t_sign):
 
 
 def seg_ntt():
-    """NTT throughput at N=2^20 (chain-differenced device time + honest
-    single-call time including tunnel dispatch)."""
+    """NTT throughput, measured AS-USED: the (L, M)-with-fused-scale
+    staged executable that the 2^20-trace prover actually dispatches
+    (M = 2^22 — its omicron domain; the blocked-coset design runs every
+    big transform through this ONE kernel).  Chain-differenced device
+    time + honest single-call time including tunnel dispatch."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from stark_anatomy_tpu.field.scalar import Field
+    from stark_anatomy_tpu.ops.domain import coset_table
     from stark_anatomy_tpu.ops.stage_ntt import staged_ntt
 
-    n = 1 << 20
+    n = 1 << 22
+    g = Field.main().generator().value
+    scale = coset_table(g, n)
     x = jnp.zeros((8, n), dtype=jnp.uint32).at[0, :].set(1)
 
     def sync(arr):
@@ -175,31 +182,31 @@ def seg_ntt():
         # axon tunnel; a data-dependent host read does
         return int(np.asarray(jax.device_get(arr.reshape(-1)[:1]))[0])
 
-    # DEVICE time via chain differencing: t(chain of 8) - t(chain of 4)
-    # cancels the axon tunnel's per-call dispatch (2-6 ms, time-shared
-    # and noisy) which a naive eager loop would measure instead of the
-    # transform (round-3 bench did; see tools/measure.py)
-    def chain(k):
-        @jax.jit
-        def run(v):
-            for _ in range(k):
-                v = staged_ntt(v)
-            return v
-        return run
-
-    c4, c8 = chain(4), chain(8)
-    y = c4(x); sync(y)
-    y = c8(x); sync(y)
+    # DEVICE time via call differencing: t(two dependent dispatches,
+    # one sync) - t(one dispatch, one sync) cancels the axon tunnel's
+    # per-roundtrip dispatch latency (2-6 ms, time-shared and noisy),
+    # which a naive synced loop would measure instead of the transform.
+    # At most two calls are ever in flight — the kernel's XLA working
+    # set is ~2.5 GB per dispatch and enqueue-time allocation means a
+    # longer eager chain would stack working sets into the HBM ceiling
+    # (jitted k-chains would recompile the whole graph k-fold instead).
+    y = staged_ntt(x, scale_pre=scale); sync(y)
     diffs = []
     single = []
     for _ in range(8):
-        t0 = time.time(); y = c4(y); sync(y); t4 = time.time() - t0
-        t0 = time.time(); y = c8(y); sync(y); t8 = time.time() - t0
-        diffs.append((t8 - t4) / 4)
-        single.append(t4 / 4)
+        t0 = time.time()
+        y = staged_ntt(y, scale_pre=scale); sync(y)
+        t1 = time.time() - t0
+        t0 = time.time()
+        y = staged_ntt(y, scale_pre=scale)
+        y = staged_ntt(y, scale_pre=scale); sync(y)
+        t2 = time.time() - t0
+        diffs.append(t2 - t1)
+        single.append(t1)
     dt = float(np.median(diffs))
-    dt_single = float(np.median(single))  # incl. amortized dispatch
-    field_ops = n // 2 * 20 * 3
+    dt_single = float(np.median(single))  # incl. dispatch roundtrip
+    log_n = n.bit_length() - 1
+    field_ops = n // 2 * log_n * 3
     # roofline: idealized fully-fused four-step — ~10 full-array HBM
     # passes at v5e's 819 GB/s; compute bound: ~(n/2)log2(n) mont_muls
     # x ~300 u32 ops at ~7 T u32-op/s.  The XLA fusion model's own
@@ -207,10 +214,11 @@ def seg_ntt():
     # docs/ntt.md), but SOL is quoted against the idealized machine.
     array_bytes = 8 * n * 4
     hbm_roofline = 10 * array_bytes / 819e9
-    compute_roofline = (n / 2 * 20 * 300) / 7e12
+    compute_roofline = (n / 2 * log_n * 300) / 7e12
     roofline = max(hbm_roofline, compute_roofline)
     log(
-        f"NTT 2^20: {dt*1000:.2f} ms device -> {field_ops/dt/1e9:.2f} "
+        f"NTT 2^{log_n} (as-used: fused coset scale): {dt*1000:.2f} ms "
+        f"device -> {field_ops/dt/1e9:.2f} "
         f"Gfield-ops/s; roofline {roofline*1000:.2f} ms "
         f"(hbm {hbm_roofline*1000:.2f} / compute {compute_roofline*1000:.2f}) "
         f"-> {100*roofline/dt:.0f}% SOL "

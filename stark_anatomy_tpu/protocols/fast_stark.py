@@ -217,9 +217,13 @@ class FastStark(StarkParams):
 
         self._interp_cache = {
             "inv_dz": inv_dz,
-            # zero-padded to the omicron domain: rides the blocked iNTT's
-            # fused pre-scale slot (mont_mul(pad(v), pad(t)) == pad(v*t))
-            "inv_dz_padded": NTT._pad_coeffs(inv_dz, M),
+            # zero-padded to the omicron domain AND pre-multiplied by M:
+            # rides the blocked iNTT's fused pre-scale slot —
+            # M * intt(c * t) == intt(c * (M*t)) by linearity, so the
+            # eager full-width M-scaling multiply disappears
+            "inv_dz_padded_m": F.mont_mul(
+                NTT._pad_coeffs(inv_dz, M), mont_const(M)
+            ),
             "zn_over_xm": zn_over_xm,
             "x_lde": x_lde,
             "m_const": mont_const(M),
@@ -432,14 +436,13 @@ class FastStark(StarkParams):
             # cold (docs/design.md §9)
             return self._trace_lde(columns[0])[None]
         if self._use_blocked():
-            # 1/Z'(w^i) rides the iNTT's fused pre-scale slot
+            # M/Z'(w^i) rides the iNTT's fused pre-scale slot
             padded = NTT._pad_coeffs(columns, M)
-            inv_dz_padded = t["inv_dz_padded"]
+            pre = t["inv_dz_padded_m"]
             if padded.ndim > 2:
-                inv_dz_padded = jnp.broadcast_to(inv_dz_padded, padded.shape)
-            e = self._intt_blocked(padded, inv_dz_padded)
-            a = jnp.roll(e, -1, axis=-1)                        # A = M * rot(e)
-            a = F.mont_mul(a, t["m_const"])
+                pre = jnp.broadcast_to(pre, padded.shape)
+            e = self._intt_blocked(padded, pre)
+            a = _rot1(e)                                        # A = rot(M*e)
             a_lde = _interleave_cosets(self._lde_blocked_single(a))
             return F.mont_mul(a_lde, t["zn_over_xm"])
         c = F.mont_mul(columns, t["inv_dz"])                   # v_i / Z'(w^i)
@@ -990,6 +993,14 @@ def _verify_core(vals, bz, ip, weights, idx, air_index_evaluator, R, K, tq_sh, b
     return F.weighted_sum(jnp.stack(terms), weights[:, None] if weights.ndim == 2 else weights)
 
 
+@jax.jit
+def _rot1(e: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the last axis down by one (a[k] = e[k+1 mod M]), as
+    slice+concat — the eager jnp.roll lowering cost ~11 s of XLA compile
+    at the 2^22 omicron domain (round-5 probe)."""
+    return jnp.concatenate([e[..., 1:], e[..., :1]], axis=-1)
+
+
 def _throttle(arr: jnp.ndarray) -> None:
     """Force completion of the queued device work (a 1-element fetch —
     block_until_ready does not synchronize through the axon tunnel).
@@ -1043,18 +1054,22 @@ def _interleave_cosets(x: jnp.ndarray) -> jnp.ndarray:
     """(E, ..., L, M) per-coset evaluations -> (..., L, E*M) natural-order
     codeword: FRI-domain index j = r + E*i holds coset r, position i.
 
-    Lowered as E interior-padded dilations OR-ed together (supports are
-    disjoint): the obvious moveaxis+reshape transpose needed >6 GB of
-    XLA working set at a 2^24 domain (measured round 5 — it OOMed the
-    chip next to the prover's resident tables)."""
-    E = x.shape[0]
-    zero = jnp.zeros((), x.dtype)
-    cfg = [(0, 0, 0)] * (x.ndim - 2)
-    out = None
-    for r in range(E):
-        d = jax.lax.pad(x[r], zero, cfg + [(r, E - 1 - r, E - 1)])
-        out = d if out is None else out | d
-    return out
+    Lowered as CHUNKED moveaxis+reshape transposes (8 column blocks,
+    concatenated).  Measured at a 2^24 domain against the alternatives
+    (round 5): one whole-array transpose needs >6 GB of XLA scratch (it
+    OOMed next to the prover's resident tables); interior-padded
+    dilations OR-ed together cost 871 s (!) of XLA compile; a flat
+    gather compiles in 2 s but runs 6x slower than this form
+    (377 ms vs 60 ms)."""
+    E, M = x.shape[0], x.shape[-1]
+    C = min(8, M)
+    w = M // C
+    outs = []
+    for c in range(C):
+        blk = x[..., c * w : (c + 1) * w]              # (E, ..., L, w)
+        y = jnp.moveaxis(blk, 0, -1)                   # (..., L, w, E)
+        outs.append(y.reshape(y.shape[:-2] + (w * E,)))
+    return jnp.concatenate(outs, axis=-1)
 
 
 @jax.jit
