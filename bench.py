@@ -318,9 +318,14 @@ def seg_pipeline(mimc, stark, tz, t_serial, per_phase):
 
 
 def main():
+    # The repo SHIPS its persistent compile cache (.aot_cache/, tracked in
+    # git): XLA executables are deployment artifacts exactly like a CUDA
+    # framework's shipped cubins.  A fresh checkout therefore warm-LOADS
+    # (~0.5-0.7 s/executable) instead of cold-compiling (~4 s/executable,
+    # ~340 s aggregate for the 2^20 prover — docs/design.md §9).
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".aot_cache"),
     )
     import jax
 

@@ -1004,7 +1004,11 @@ def _rot1(e: jnp.ndarray) -> jnp.ndarray:
 def _throttle(arr: jnp.ndarray) -> None:
     """Force completion of the queued device work (a 1-element fetch —
     block_until_ready does not synchronize through the axon tunnel).
-    Used to bound how many big-working-set executables are in flight."""
+    Used to bound how many big-working-set executables are in flight.
+    Under tracing (the batch prover jits the whole LDE into one
+    executable) there is no queue to drain — no-op."""
+    if isinstance(arr, jax.core.Tracer):
+        return
     np.asarray(jax.device_get(arr[(slice(0, 1),) * arr.ndim]))
 
 
