@@ -161,18 +161,36 @@ class MiMC:
         words = np.ascontiguousarray(
             buf.view("<u4").reshape(steps + 1, 4).T
         )                                                    # (4, n)
-        cols = _unpack_columns(jnp.asarray(words))
         if not want_output:
-            return cols
+            return self.columns_from_words(words)
         out_m = int.from_bytes(buf[-16:].tobytes(), "little")
-        return cols, out_m * pow(R, _P - 2, _P) % _P
+        return words, out_m * pow(R, _P - 2, _P) % _P
+
+    def columns_from_words(self, words) -> jnp.ndarray:
+        """Packed host (4, n) u32 words -> (1, L, n) device trace columns
+        (one upload + the on-device unpack executable)."""
+        return _unpack_columns(jnp.asarray(words))
+
+    def trace_words_with_output(self, input_value: int):
+        """HOST-ONLY trace generation: (packed (4, n) numpy words, canonical
+        output int), no device touch — the pipelined prover runs this in a
+        worker thread so only the GIL-free C++ chain overlaps the device
+        phases of the in-flight proof (a device upload/dispatch from the
+        worker would contend on the tunnel stream with the prover's
+        throttled big-working-set dispatches; measured round 5: the
+        device-touching variant made the 8-proof pipeline SLOWER than
+        serial, 8.5 s vs 7.2 s per proof).  None if the C++ chain library
+        is unavailable."""
+        out = self._native_columns(input_value, want_output=True)
+        return out  # (words, out_int) or None
 
     def trace_columns_with_output(self, input_value: int):
         """(device trace columns, canonical output int) — the native path
         decodes the output host-side; the device fallback pays one fetch."""
         native = self._native_columns(input_value, want_output=True)
         if native is not None:
-            return native
+            words, out = native
+            return self.columns_from_words(words), out
         from ..utils.convert import ints_from_device
 
         cols = self.trace_columns(input_value)

@@ -48,8 +48,17 @@ class PipelinedMiMCProver:
         self._pool = ThreadPoolExecutor(max_workers=1)
 
     def _gen(self, input_element: FieldElement):
+        """Worker-thread trace generation.  HOST-ONLY on the native path:
+        returns packed numpy words and defers the device upload/unpack to
+        the main thread — a device touch here contends on the tunnel
+        stream with the in-flight proof's dispatches (measured round 5:
+        it made the pipeline SLOWER than serial, 8.5 s vs 7.2 s/proof)."""
+        host = self.mimc.trace_words_with_output(input_element.value)
+        if host is not None:
+            words, out = host
+            return ("words", words), FieldElement(out, self.mimc.field)
         cols, out = self.mimc.trace_columns_with_output(input_element.value)
-        return cols, FieldElement(out, self.mimc.field)
+        return ("cols", cols), FieldElement(out, self.mimc.field)
 
     def prove_stream(
         self,
@@ -62,9 +71,14 @@ class PipelinedMiMCProver:
             return
         fut = self._pool.submit(self._gen, inputs[0])
         for k in range(len(inputs)):
-            cols, output_element = fut.result()
+            (kind, payload), output_element = fut.result()
             if k + 1 < len(inputs):
                 fut = self._pool.submit(self._gen, inputs[k + 1])
+            cols = (
+                self.mimc.columns_from_words(payload)
+                if kind == "words"
+                else payload
+            )
             proof = self.stark.prove(
                 None,
                 self.mimc.transition_constraints(),
