@@ -34,6 +34,22 @@ from ..field.scalar import FieldElement
 from ..protocols.fast_stark import FastStark, TransitionZerofier
 
 
+def _deprioritize_worker() -> None:
+    """Lower the worker thread's scheduling priority (Linux: per-thread
+    nice via its native TID).  The main thread's proof loop is
+    latency-sensitive — its per-coset throttle syncs and the tunnel
+    client's IO threads need the core NOW — while the prefetch chain
+    only has to finish within the ~7 s the in-flight proof takes.  On a
+    2-core host this is the difference between the overlap being
+    positive and the worker stealing cycles from the dispatch path."""
+    try:
+        import threading
+
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 10)
+    except (AttributeError, OSError, PermissionError):
+        pass  # non-Linux or unprivileged: overlap still works, just noisier
+
+
 class PipelinedMiMCProver:
     """Streams proofs for MiMC-chain statements with trace generation of
     statement k+1 overlapped against device proving of statement k."""
@@ -45,7 +61,9 @@ class PipelinedMiMCProver:
         # one worker: trace generation is serial per statement, and a
         # single prefetch depth is enough to hide it behind the device
         # phases (depth > 1 would only grow the HBM footprint)
-        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, initializer=_deprioritize_worker
+        )
 
     def _gen(self, input_element: FieldElement):
         """Worker-thread trace generation.  HOST-ONLY on the native path:
